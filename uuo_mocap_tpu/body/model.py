@@ -1,0 +1,285 @@
+"""SMPL body model: asset container + jitted LBS forward pass.
+
+TPU-native replacement for the reference's ``smplx.create`` dependency
+(reference ``src/video_mocap/utils/smpl.py:22-27``).  The forward pass —
+shape blendshapes, pose blendshapes, joint regression, linear blend
+skinning — is pure JAX, expressed as a handful of large matmuls so XLA
+tiles them onto the MXU, batched over arbitrary leading dims
+(hypotheses x frames) per the build plan (SURVEY.md §7.1).
+
+Assets are loaded from user-supplied SMPL pickles (chumpy-encoded, decoded
+here without a chumpy/torch dependency) or from npz; a deterministic
+synthetic model with identical shapes ships for tests and benchmarks
+(``uuo_mocap_tpu.body.synthetic``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_VERTICES = 6890
+NUM_JOINTS = 24  # LBS joints
+NUM_BETAS = 10
+NUM_POSE_JOINTS = NUM_JOINTS - 1  # body pose, excl. root
+
+# SMPL kinematic tree (standard; reference gets it from smplx.parents).
+PARENTS = np.array(
+    [-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21],
+    dtype=np.int32,
+)
+
+# Extra surface joints appended by smplx's VertexJointSelector for SMPL
+# (total output joints 24 + 21 = 45, consumed as [F, 45, ...] by the
+# reference's reprojection stage, ``hmr_utils.py:319-326``).
+# Order: face (nose, reye, leye, rear, lear), feet (LBigToe, LSmallToe,
+# LHeel, RBigToe, RSmallToe, RHeel), hand tips (l/r thumb..pinky).
+EXTRA_JOINT_VERTEX_IDS = np.array(
+    [
+        332, 6260, 2800, 4071, 583,  # face
+        3216, 3226, 3387, 6617, 6624, 6787,  # feet
+        2746, 2319, 2445, 2556, 2673,  # left hand tips
+        6191, 5782, 5905, 6016, 6133,  # right hand tips
+    ],
+    dtype=np.int32,
+)
+NUM_OUTPUT_JOINTS = NUM_JOINTS + len(EXTRA_JOINT_VERTEX_IDS)  # 45
+
+_P = jax.lax.Precision.HIGHEST
+
+
+class _StaticArray:
+    """Immutable, hashable numpy array wrapper for pytree aux data (jit
+    compile-cache keys need hashable metadata)."""
+
+    __slots__ = ("array", "_hash")
+
+    def __init__(self, array: np.ndarray):
+        self.array = np.asarray(array)
+        self.array.setflags(write=False)
+        self._hash = hash((self.array.shape, self.array.dtype.str, self.array.tobytes()))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, _StaticArray)
+            and self._hash == other._hash
+            and self.array.shape == other.array.shape
+            and bool(np.array_equal(self.array, other.array))
+        )
+
+    def __hash__(self):
+        return self._hash
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BodyModel:
+    """SMPL model tensors (a pytree, so it can cross jit boundaries)."""
+
+    v_template: jnp.ndarray  # [V, 3]
+    shapedirs: jnp.ndarray  # [V, 3, 10]
+    posedirs: jnp.ndarray  # [207, V*3]
+    j_regressor: jnp.ndarray  # [24, V]
+    lbs_weights: jnp.ndarray  # [V, 24]
+    faces: np.ndarray  # [Faces, 3] int32 (static aux data)
+    parents: np.ndarray = dataclasses.field(default_factory=lambda: PARENTS)
+    gender: str = "neutral"
+
+    def tree_flatten(self):
+        children = (self.v_template, self.shapedirs, self.posedirs, self.j_regressor, self.lbs_weights)
+        aux = (_StaticArray(self.faces), _StaticArray(self.parents), self.gender)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        v_template, shapedirs, posedirs, j_regressor, lbs_weights = children
+        faces, parents, gender = aux
+        return cls(v_template, shapedirs, posedirs, j_regressor, lbs_weights, faces.array, parents.array, gender)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+    def vertex_part_labels(self) -> jnp.ndarray:
+        """argmax LBS weight per vertex -> joint id [V] (reference
+        ``optimization.py:689``, ``markers_utils.py:440-441``)."""
+        return jnp.argmax(self.lbs_weights, axis=-1)
+
+
+class _ChumpyUnpickler(pickle.Unpickler):
+    """Decode chumpy-pickled SMPL assets without chumpy installed.
+
+    Chumpy arrays subclass ndarray; we map them to plain ndarray-compatible
+    stubs so ``np.asarray`` recovers the data (SURVEY.md §7 hard part 7).
+    """
+
+    def find_class(self, module: str, name: str):
+        if module.startswith("chumpy"):
+            class _Ch(np.ndarray):
+                pass
+
+            return _Ch
+        if module == "scipy.sparse.csc" or module == "scipy.sparse._csc":
+            import scipy.sparse
+
+            return scipy.sparse.csc_matrix
+        return super().find_class(module, name)
+
+
+def _to_dense(x: Any) -> np.ndarray:
+    if hasattr(x, "toarray"):
+        return np.asarray(x.toarray())
+    return np.asarray(x)
+
+
+def load_body_model(path: str, gender: str = "neutral", dtype=jnp.float32) -> BodyModel:
+    """Load a body model from an SMPL pkl (as shipped by smpl.is.tue.mpg.de,
+    the format the reference ingests via ``smplx.create``, README.md:18-33)
+    or an npz with the same field names.
+    """
+    if os.path.isdir(path):
+        # smplx-style layout: <path>/smpl/SMPL_{GENDER}.pkl
+        cand = os.path.join(path, "smpl", f"SMPL_{gender.upper()}.pkl")
+        if not os.path.exists(cand):
+            cand = os.path.join(path, f"SMPL_{gender.upper()}.pkl")
+        path = cand
+
+    if path.endswith(".npz"):
+        data: Dict[str, Any] = dict(np.load(path, allow_pickle=False))
+    else:
+        with open(path, "rb") as f:
+            data = _ChumpyUnpickler(f, encoding="latin1").load()
+
+    v_template = _to_dense(data["v_template"]).astype(np.float32)  # [V, 3]
+    shapedirs = _to_dense(data["shapedirs"]).astype(np.float32)[:, :, :NUM_BETAS]  # [V, 3, 10]
+    posedirs = _to_dense(data["posedirs"]).astype(np.float32)  # [V, 3, 207]
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T  # [207, V*3] (smplx layout)
+    j_regressor = _to_dense(data["J_regressor"]).astype(np.float32)  # [24, V]
+    lbs_weights = _to_dense(data["weights"]).astype(np.float32)  # [V, 24]
+    faces = _to_dense(data.get("f", data.get("faces"))).astype(np.int32)  # [13776, 3]
+    parents = data.get("kintree_table")
+    if parents is not None:
+        parents = np.asarray(parents)
+        if parents.ndim == 2:  # kintree_table [2, J]
+            parents = parents[0].astype(np.int64)
+            parents[0] = -1
+        parents = parents.astype(np.int32)
+    else:
+        parents = PARENTS
+
+    return BodyModel(
+        v_template=jnp.asarray(v_template, dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype),
+        posedirs=jnp.asarray(posedirs, dtype),
+        j_regressor=jnp.asarray(j_regressor, dtype),
+        lbs_weights=jnp.asarray(lbs_weights, dtype),
+        faces=faces,
+        parents=parents,
+        gender=gender,
+    )
+
+
+def _compose_kinematic_chain(
+    rot_mats: jnp.ndarray,  # [..., 24, 3, 3]
+    joints_rest: jnp.ndarray,  # [..., 24, 3]
+    parents: np.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward kinematics over the (static, depth<=7) SMPL tree.
+
+    Returns posed joint positions [..., 24, 3] and the per-joint rigid
+    transforms [..., 24, 3, 4] relative to the rest pose (the "A" matrices of
+    LBS).  The tree is static so the chain unrolls to 23 fused 3x3 matmuls —
+    no scan/scatter, XLA-friendly.
+    """
+    rel = joints_rest - jnp.where(
+        (parents >= 0)[:, None], joints_rest[..., np.maximum(parents, 0), :], 0.0
+    )  # [..., 24, 3]; root keeps absolute position
+
+    # Unrolled composition: results[j] = (R_world[j], t_world[j])
+    R_world = [None] * len(parents)
+    t_world = [None] * len(parents)
+    R_world[0] = rot_mats[..., 0, :, :]
+    t_world[0] = rel[..., 0, :]
+    for j in range(1, len(parents)):
+        p = int(parents[j])
+        R_p = R_world[p]
+        R_world[j] = jnp.einsum("...ij,...jk->...ik", R_p, rot_mats[..., j, :, :], precision=_P)
+        t_world[j] = t_world[p] + jnp.einsum("...ij,...j->...i", R_p, rel[..., j, :], precision=_P)
+
+    R_w = jnp.stack(R_world, axis=-3)  # [..., 24, 3, 3]
+    t_w = jnp.stack(t_world, axis=-2)  # [..., 24, 3]
+
+    # LBS relative transform: translation part t - R @ j_rest
+    t_rel = t_w - jnp.einsum("...jab,...jb->...ja", R_w, joints_rest, precision=_P)
+    A = jnp.concatenate([R_w, t_rel[..., None]], axis=-1)  # [..., 24, 3, 4]
+    return t_w, A
+
+
+def lbs_forward(
+    model: BodyModel,
+    pose_body: jnp.ndarray,  # [..., 23, 3, 3]
+    betas: jnp.ndarray,  # [..., 10]
+    root_orient: jnp.ndarray,  # [..., 1, 3, 3]
+    trans: jnp.ndarray,  # [..., 3]
+    with_pose_blendshapes: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """SMPL forward pass, batched over arbitrary leading dims.
+
+    Mirrors the reference's ``SmplInference.__call__`` contract
+    (``utils/smpl.py:29-50``): rotation-matrix pose input (pose2rot=False),
+    returns ``joints`` [..., 45, 3] and ``vertices`` [..., 6890, 3].
+
+    The compute shape: three MXU matmuls dominate —
+      pose blendshapes  [B, 207] @ [207, V*3]
+      joint regression  [24, V]  @ [B*V, 3]
+      skinning          [V, 24]  @ [B, 24, 12]
+    plus an unrolled 24-node kinematic chain of 3x3 ops.
+    """
+    batch_shape = trans.shape[:-1]
+    dtype = model.v_template.dtype
+
+    betas = jnp.broadcast_to(betas, batch_shape + (NUM_BETAS,)).astype(dtype)
+    # Shape blendshapes: v_shaped = template + shapedirs . betas
+    v_shaped = model.v_template + jnp.einsum(
+        "vdk,...k->...vd", model.shapedirs, betas, precision=_P
+    )  # [..., V, 3]
+
+    # Rest joints from the regressor
+    joints_rest = jnp.einsum("jv,...vd->...jd", model.j_regressor, v_shaped, precision=_P)  # [..., 24, 3]
+
+    rot_mats = jnp.concatenate([root_orient, pose_body], axis=-3)  # [..., 24, 3, 3]
+
+    # Pose blendshapes from (R - I) of the 23 body joints
+    if with_pose_blendshapes:
+        ident = jnp.eye(3, dtype=dtype)
+        pose_feature = (pose_body - ident).reshape(batch_shape + (NUM_POSE_JOINTS * 9,))
+        pose_offsets = jnp.einsum(
+            "...p,pc->...c", pose_feature, model.posedirs, precision=_P
+        ).reshape(batch_shape + (model.num_vertices, 3))
+        v_posed = v_shaped + pose_offsets
+    else:
+        v_posed = v_shaped
+
+    posed_joints, A = _compose_kinematic_chain(rot_mats, joints_rest, model.parents)
+
+    # Skinning: T = W @ A  -> [..., V, 3, 4]
+    T = jnp.einsum(
+        "vj,...jab->...vab", model.lbs_weights, A, precision=_P
+    )
+    verts = (
+        jnp.einsum("...vab,...vb->...va", T[..., :3, :3], v_posed, precision=_P)
+        + T[..., :3, 3]
+    )
+
+    verts = verts + trans[..., None, :]
+    posed_joints = posed_joints + trans[..., None, :]
+
+    extra = verts[..., EXTRA_JOINT_VERTEX_IDS, :]  # [..., 21, 3]
+    joints_out = jnp.concatenate([posed_joints, extra], axis=-2)  # [..., 45, 3]
+
+    return {"joints": joints_out, "vertices": verts}
