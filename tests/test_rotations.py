@@ -122,6 +122,23 @@ def test_grad_through_6d():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_grad_finite_at_exactly_zero_angle():
+    """Regression: sqrt(theta^2) grad at theta=0 is inf; `where` does not
+    block NaN grads from the untaken branch.  Optimized yaw params start at
+    exactly 0, so a NaN here poisons every solve."""
+    import jax
+
+    g = jax.grad(lambda a: jnp.sum(R.axis_angle_to_matrix(a)))(jnp.zeros((2, 3)))
+    assert np.isfinite(np.asarray(g)).all()
+    g = jax.grad(lambda a: jnp.sum(R.rot_z(a)))(jnp.zeros((2, 1)))
+    assert np.isfinite(np.asarray(g)).all()
+    g = jax.grad(lambda a: jnp.sum(R.axis_angle_to_quaternion(a)))(jnp.zeros((2, 3)))
+    assert np.isfinite(np.asarray(g)).all()
+    q_id = jnp.asarray(np.array([[1.0, 0, 0, 0]], np.float32))
+    g = jax.grad(lambda q: jnp.sum(R.quaternion_to_axis_angle(q)))(q_id)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_grad_through_so3_relative_angle_near_identity():
     import jax
 

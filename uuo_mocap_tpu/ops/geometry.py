@@ -1,0 +1,71 @@
+"""Small geometry utilities: AABB, marker masks, geometric median, closest
+point — JAX ports of the reference's ``utils/aabb.py``, ``utils/points.py``
+and ``get_marker_mask`` (``optimization.py:703-715``).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def get_aabb(points: jnp.ndarray) -> jnp.ndarray:
+    """[..., N, 3] -> [..., 2, 3] (min, max) — reference ``utils/aabb.py:5-17``."""
+    return jnp.stack([jnp.min(points, axis=-2), jnp.max(points, axis=-2)], axis=-2)
+
+
+def get_aabb_volume(aabb: jnp.ndarray) -> jnp.ndarray:
+    """[..., 2, 3] -> [...] volume — reference ``utils/aabb.py:20-25``."""
+    ext = aabb[..., 1, :] - aabb[..., 0, :]
+    return jnp.prod(ext, axis=-1)
+
+
+def get_marker_mask(markers: jnp.ndarray) -> jnp.ndarray:
+    """1 where the marker is valid (not exactly at the origin) — occluded
+    markers are zero-filled upstream (reference ``optimization.py:703-715``).
+    [..., M, 3] -> [..., M] float."""
+    return (jnp.sum(jnp.abs(markers), axis=-1) != 0.0).astype(markers.dtype)
+
+
+def closest_point(points: jnp.ndarray, cloud: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Brute-force nearest neighbor point->cloud
+    (reference ``utils/points.py:19-42``)."""
+    from uuo_mocap_tpu.ops.chamfer import squared_distance_matrix
+
+    d2 = squared_distance_matrix(points, cloud)
+    idx = jnp.argmin(d2, axis=-1)
+    return {
+        "vertex_indices": idx,
+        "distances": jnp.sqrt(jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]),
+        "points": cloud[..., idx, :] if cloud.ndim == 2 else jnp.take_along_axis(cloud, idx[..., None], axis=-2),
+    }
+
+
+def geometric_median(points: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
+    """Weiszfeld iteration [..., N, 3] -> [..., 3]
+    (reference ``utils/points.py:6-16`` uses scipy minimize; same objective)."""
+
+    def body(_, y):
+        d = jnp.linalg.norm(points - y[..., None, :], axis=-1)  # [..., N]
+        w = 1.0 / jnp.maximum(d, 1e-8)
+        return jnp.sum(points * w[..., None], axis=-2) / jnp.sum(w, axis=-1, keepdims=True)
+
+    y0 = jnp.mean(points, axis=-2)
+    return jax.lax.fori_loop(0, iters, body, y0)
+
+
+def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals [..., V, 3] (replaces trimesh
+    ``vertex_normals`` used by the synthetic marker generators,
+    reference ``utils/marker_layout.py:68-73``)."""
+    t0 = vertices[..., faces[:, 0], :]
+    t1 = vertices[..., faces[:, 1], :]
+    t2 = vertices[..., faces[:, 2], :]
+    fn = jnp.cross(t1 - t0, t2 - t0)  # area-weighted face normals [..., T, 3]
+    V = vertices.shape[-2]
+    vn = jnp.zeros(vertices.shape, vertices.dtype)
+    for k in range(3):
+        vn = vn.at[..., faces[:, k], :].add(fn)
+    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
+    return vn / jnp.maximum(norm, 1e-12)

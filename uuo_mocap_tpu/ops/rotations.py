@@ -38,13 +38,17 @@ def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
     # Closed form R = cos(t) I + sinc(t) hat(aa) + (1-cos t)/t^2 aa aa^T —
     # elementwise (no 3x3 matmul), so TPU default-precision bf16 MXU paths
     # never touch it, and the t -> 0 limit is exact.
+    #
+    # Gradient safety: sqrt(theta2) has an infinite derivative at 0 and
+    # ``where`` does NOT block NaN grads from the untaken branch, so theta2
+    # is replaced by 1.0 *before* the sqrt in the small-angle region and all
+    # small-branch terms are polynomials in theta2 (exact grads at 0).
     theta2 = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)  # [..., 1]
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    cos_t = jnp.cos(theta)[..., None]  # [..., 1, 1]
-    sinc_t = _sinc(theta)[..., None]
-    # (1 - cos t) / t^2, Taylor-guarded: -> 1/2 - t^2/24 as t -> 0
     small = theta2 < 1e-8
     theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    cos_t = jnp.where(small, 1.0 - theta2 / 2.0, jnp.cos(theta))[..., None]
+    sinc_t = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)[..., None]
     one_minus_cos_over_t2 = jnp.where(
         small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe
     )[..., None]
@@ -107,19 +111,27 @@ def quaternion_to_matrix(quat: jnp.ndarray) -> jnp.ndarray:
 
 
 def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    # Same NaN-grad-safe pattern as axis_angle_to_matrix.
+    theta2 = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     half = theta * 0.5
-    w = jnp.cos(half)
-    xyz = axis_angle * 0.5 * _sinc(half)
+    w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
+    sinc_half = jnp.where(small, 1.0 - theta2 / 24.0, jnp.sin(half) / half)
+    xyz = axis_angle * 0.5 * sinc_half
     return jnp.concatenate([w, xyz], axis=-1)
 
 
 def quaternion_to_axis_angle(quat: jnp.ndarray) -> jnp.ndarray:
     q = quat * jnp.where(quat[..., :1] < 0, -1.0, 1.0)
-    norm_xyz = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    n2 = jnp.sum(q[..., 1:] * q[..., 1:], axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    n2_safe = jnp.where(small, 1.0, n2)  # NaN-grad-safe sqrt (see axis_angle_to_matrix)
+    norm_xyz = jnp.sqrt(n2_safe)
     half = jnp.arctan2(norm_xyz, q[..., :1])
-    # axis_angle = axis * 2*half ; axis = xyz / norm_xyz (guarded)
-    scale = jnp.where(norm_xyz < 1e-8, 2.0, 2.0 * half / jnp.maximum(norm_xyz, _EPS))
+    # axis_angle = xyz * 2*half/|xyz|; as |xyz| -> 0, 2*half/|xyz| -> 2/w -> 2
+    scale = jnp.where(small, 2.0, 2.0 * half / norm_xyz)
     return q[..., 1:] * scale
 
 
