@@ -1,13 +1,21 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+"""Test configuration: force an 8-device virtual CPU mesh before any test
+imports jax.
 
-Multi-chip sharding tests run against virtual devices
-(``--xla_force_host_platform_device_count``), the analog of multi-node testing
-without a cluster (SURVEY.md §4).  Benchmarks (bench.py) run on real TPU.
+Multi-chip sharding tests run against virtual CPU devices — the analog of
+multi-node testing without a cluster (SURVEY.md §4).  Benchmarks (bench.py)
+run on the real TPU.
+
+NOTE: jax 0.9's CPU plugin ignores ``--xla_force_host_platform_device_count``
+(and the axon sitecustomize partially imports jax at interpreter start), so
+the reliable route is ``jax.config.update('jax_num_cpu_devices', ...)``
+before first backend use.
 """
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -267,14 +267,24 @@ def lbs_forward(
 
     posed_joints, A = _compose_kinematic_chain(rot_mats, joints_rest, model.parents)
 
-    # Skinning: T = W @ A  -> [..., V, 3, 4]
-    T = jnp.einsum(
-        "vj,...jab->...vab", model.lbs_weights, A, precision=_P
-    )
-    verts = (
-        jnp.einsum("...vab,...vb->...va", T[..., :3, :3], v_posed, precision=_P)
-        + T[..., :3, 3]
-    )
+    # Skinning, laid out for the TPU: tensors shaped [..., V, 3, 4] put tiny
+    # dims on the (sublane, lane) tile and XLA pads them 8x128 — a ~30x HBM
+    # blowup at V=6890.  Instead flatten the per-joint transforms to 12 and
+    # keep V on the lane axis: T_flat [..., 12, V], elementwise combines on
+    # [..., V]-minor tensors only.
+    A_flat = A.reshape(batch_shape + (NUM_JOINTS, 12))  # row-major (a, b): c = 4a + b
+    T_flat = jnp.einsum("...jc,vj->...cv", A_flat, model.lbs_weights, precision=_P)  # [..., 12, V]
+    vp_t = jnp.swapaxes(v_posed, -1, -2)  # [..., 3, V]
+    rows = []
+    for a in range(3):
+        row = (
+            T_flat[..., 4 * a + 0, :] * vp_t[..., 0, :]
+            + T_flat[..., 4 * a + 1, :] * vp_t[..., 1, :]
+            + T_flat[..., 4 * a + 2, :] * vp_t[..., 2, :]
+            + T_flat[..., 4 * a + 3, :]
+        )
+        rows.append(row)
+    verts = jnp.stack(rows, axis=-1)  # [..., V, 3]
 
     verts = verts + trans[..., None, :]
     posed_joints = posed_joints + trans[..., None, :]

@@ -24,6 +24,36 @@ import jax.numpy as jnp
 
 _P = jax.lax.Precision.HIGHEST
 
+# Frame-axis chunk for scanned reductions.  A full [F, M, V] (or worse,
+# [lanes, F, M, V] under vmap) distance tensor OOMs HBM at the canonical
+# 450-frame x 6890-vertex workload; scanning frame chunks keeps the live set
+# at [lanes, CHUNK, M, V] while the MXU still sees well-shaped matmuls.
+DEFAULT_FRAME_CHUNK = 32
+
+
+def _scan_frame_chunks(step_fn, arrays, num_frames: int, chunk: int):
+    """Split the leading frame axis into chunks and lax.scan ``step_fn`` over
+    them.  ``step_fn(chunked_arrays) -> per-frame outputs`` (leading axis =
+    chunk).  Frames are zero-padded to a multiple of ``chunk``; callers mask
+    the tail via their weight arguments.  Returns outputs with leading axis
+    ``num_frames``."""
+    pad = (-num_frames) % chunk
+    K = (num_frames + pad) // chunk
+
+    def pad_reshape(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a.reshape((K, chunk) + a.shape[1:])
+
+    xs = jax.tree_util.tree_map(pad_reshape, arrays)
+
+    def body(carry, chunk_arrays):
+        return carry, step_fn(chunk_arrays)
+
+    _, out = jax.lax.scan(body, None, xs)
+    out = jax.tree_util.tree_map(lambda o: o.reshape((K * chunk,) + o.shape[2:])[:num_frames], out)
+    return out
+
 
 def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Pairwise squared distances [..., M, 3] x [..., V, 3] -> [..., M, V].
@@ -49,11 +79,24 @@ def nearest_vertex(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
     return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1)
 
 
+def _min_over_rows(x: jnp.ndarray, y: jnp.ndarray, chunk: Optional[int]) -> jnp.ndarray:
+    """min_v d^2(x, y) [..., M]; frame-chunk-scanned for [F, M, 3] inputs."""
+    if chunk is None or x.ndim != 3 or x.shape[0] <= chunk:
+        return jnp.min(squared_distance_matrix(x, y), axis=-1)
+
+    def step(arrs):
+        x_c, y_c = arrs
+        return jnp.min(squared_distance_matrix(x_c, y_c), axis=-1)
+
+    return _scan_frame_chunks(step, (x, y), x.shape[0], chunk)
+
+
 def masked_chamfer(
     x: jnp.ndarray,  # [..., M, 3] markers
     y: jnp.ndarray,  # [..., V, 3] vertices
     x_weights: Optional[jnp.ndarray] = None,  # [..., M]
     single_directional: bool = True,
+    frame_chunk: Optional[int] = DEFAULT_FRAME_CHUNK,
 ) -> jnp.ndarray:
     """Weighted (single-directional by default) chamfer scalar.
 
@@ -62,25 +105,26 @@ def masked_chamfer(
     "batch element" with its own weight, so the result is
     sum(w * min_v d^2) / sum(w) over every (frame, marker).
     """
-    d2_x, _ = nearest_vertex(x, y)  # [..., M]
     if x_weights is None:
         x_weights = jnp.ones(x.shape[:-1], x.dtype)
+    d2_x = _min_over_rows(x, y, frame_chunk)  # [..., M]
     w = x_weights.astype(x.dtype)
     loss = jnp.sum(d2_x * w) / jnp.maximum(jnp.sum(w), 1e-12)
     if single_directional:
         return loss
-    d2_y, _ = nearest_vertex(y, x)
+    d2_y = _min_over_rows(y, x, frame_chunk)
     # pytorch3d unweighted bidirectional: mean over batch of per-cloud means
     loss_y = jnp.mean(d2_y)
     return loss + loss_y
 
 
-def chamfer_bidirectional(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def chamfer_bidirectional(x: jnp.ndarray, y: jnp.ndarray,
+                          frame_chunk: Optional[int] = DEFAULT_FRAME_CHUNK) -> jnp.ndarray:
     """Unweighted bidirectional chamfer, pytorch3d reduction (mean of each
     direction's per-point mean, summed) — the part-fit scoring metric
     (reference ``markers_utils.py:575-580``)."""
-    d2_x, _ = nearest_vertex(x, y)
-    d2_y, _ = nearest_vertex(y, x)
+    d2_x = _min_over_rows(x, y, frame_chunk)
+    d2_y = _min_over_rows(y, x, frame_chunk)
     return jnp.mean(d2_x) + jnp.mean(d2_y)
 
 
@@ -90,25 +134,48 @@ def masked_chamfer_vertex_subset(
     x_mask: jnp.ndarray,  # [..., M] bool/float — marker validity
     y_mask: jnp.ndarray,  # [V] or [..., V] bool/float — vertex subset (padded)
     single_directional: bool = True,
+    frame_chunk: Optional[int] = DEFAULT_FRAME_CHUNK,
 ) -> jnp.ndarray:
     """Chamfer against a *masked vertex subset* — the vmapped replacement for
     the reference's per-subtree ``vertices[:, vertex_indices]`` gather
     (``markers_utils.py:469-475``): invalid vertices are pushed to +inf
     instead of gathered, so every subtree in a padded batch shares one shape.
     """
-    d2 = squared_distance_matrix(x, y)  # [..., M, V]
-    big = jnp.asarray(1e10, d2.dtype)
-    ym = jnp.broadcast_to(y_mask, d2.shape[:-2] + (y.shape[-2],))
-    d2_masked = jnp.where(ym[..., None, :] > 0, d2, big)
-    d2_x = jnp.min(d2_masked, axis=-1)  # [..., M]
-    w = x_mask.astype(d2.dtype)
-    loss = jnp.sum(d2_x * w) / jnp.maximum(jnp.sum(w), 1e-12)
+    big = jnp.asarray(1e10, x.dtype)
+    V = y.shape[-2]
+    M = x.shape[-2]
+    chunked = frame_chunk is not None and x.ndim == 3 and x.shape[0] > frame_chunk
+    ym_flat = jnp.broadcast_to(y_mask, y.shape[:-1])  # [..., V]
+    xm = x_mask.astype(x.dtype)
+
+    if not chunked:
+        d2 = squared_distance_matrix(x, y)  # [..., M, V]
+        d2_x = jnp.min(jnp.where(ym_flat[..., None, :] > 0, d2, big), axis=-1)
+        loss = jnp.sum(d2_x * xm) / jnp.maximum(jnp.sum(xm), 1e-12)
+        if single_directional:
+            return loss
+        d2_y = jnp.min(jnp.where(x_mask[..., None, :] > 0, jnp.swapaxes(d2, -1, -2), big), axis=-1)
+        wy = ym_flat.astype(x.dtype)
+        return loss + jnp.sum(d2_y * wy) / jnp.maximum(jnp.sum(wy), 1e-12)
+
+    F = x.shape[0]
+    ym_f = jnp.broadcast_to(ym_flat, (F, V)) if ym_flat.ndim == 1 else ym_flat
+
+    def step(arrs):
+        x_c, y_c, ym_c, xm_c = arrs
+        d2 = squared_distance_matrix(x_c, y_c)  # [C, M, V]
+        d2_x = jnp.min(jnp.where(ym_c[:, None, :] > 0, d2, big), axis=-1)  # [C, M]
+        if single_directional:
+            return d2_x, jnp.zeros_like(ym_c)
+        d2_y = jnp.min(jnp.where(xm_c[:, None, :] > 0, jnp.swapaxes(d2, -1, -2), big), axis=-1)
+        return d2_x, d2_y
+
+    d2_x, d2_y = _scan_frame_chunks(step, (x, y, ym_f, xm), F, frame_chunk)
+    loss = jnp.sum(d2_x * xm) / jnp.maximum(jnp.sum(xm), 1e-12)
     if single_directional:
         return loss
-    d2_y = jnp.min(jnp.where(x_mask[..., None, :] > 0, jnp.swapaxes(d2, -1, -2), big), axis=-1)
-    wy = ym.astype(d2.dtype)
-    loss_y = jnp.sum(d2_y * wy) / jnp.maximum(jnp.sum(wy), 1e-12)
-    return loss + loss_y
+    wy = ym_f.astype(x.dtype)
+    return loss + jnp.sum(d2_y * wy) / jnp.maximum(jnp.sum(wy), 1e-12)
 
 
 def chamfer_by_part(

@@ -1,0 +1,350 @@
+"""The staged multimodal solver — orchestration.
+
+TPU-native re-design of the reference's ``multimodal_video_mocap``
+(``multimodal.py:38-710``).  Same stage schedule and data contracts, but:
+
+  * the per-yaw-hypothesis loop (``multimodal.py:462-574``) is ONE vmapped
+    program over a hypothesis axis (chamfer -> correspondence -> marker IK
+    for all A angles at once);
+  * the subtree-fit loop is the padded vmapped batch in ``part_fit``;
+  * every stage is a jitted L-BFGS program (no per-iteration host sync);
+  * host work is limited to one-time preprocessing (rigid clustering,
+    resampling bookkeeping) and stage sequencing.
+
+Output dict keys match the reference (``multimodal.py:679-710``):
+``trans, root_orient, pose_body, betas, mocap_frame_rate, mocap_markers,
+markers_labels, stages{part, root, chamfer, marker, marker_final}, chain``.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uuo_mocap_tpu.body.model import BodyModel
+from uuo_mocap_tpu.data.img_smpl import ImgSmpl
+from uuo_mocap_tpu.ops import rotations as rot
+from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume, get_marker_mask
+from uuo_mocap_tpu.pipeline.part_fit import PartFitter
+from uuo_mocap_tpu.pipeline.segmentation import segment_rigid
+from uuo_mocap_tpu.pipeline.stages import MarkerAttachment, SmplParams, SolveStages, _forward
+
+
+def resample_smpl_stream(
+    trans: np.ndarray,  # [F, 3]
+    root_orient: np.ndarray,  # [F, 1, 3, 3]
+    pose_body: np.ndarray,  # [F, 23, 3, 3]
+    foot_contacts: np.ndarray,  # [F, 2]
+    src_freq: float,
+    dst_freq: float,
+):
+    """Resample the HMR stream video-freq -> mocap-freq: lerp vectors, slerp
+    rotations (reference ``multimodal.py:145-182``)."""
+    if src_freq == dst_freq:
+        return trans, root_orient, pose_body, foot_contacts
+    F = trans.shape[0]
+    new_F = round(F * (dst_freq / src_freq))
+    pos = np.arange(new_F) * (src_freq / dst_freq)
+    i0 = np.minimum(pos.astype(np.int64), F - 1)
+    i1 = np.minimum(i0 + 1, F - 1)
+    alpha = (pos - i0).astype(np.float32)
+    a1 = alpha[:, None]
+    trans_r = trans[i0] * (1 - a1) + trans[i1] * a1
+    fc_r = foot_contacts[i0] * (1 - a1) + foot_contacts[i1] * a1
+    a_rot = alpha[:, None, None]
+    root_r = np.asarray(rot.matrix_slerp(jnp.asarray(root_orient[i0]), jnp.asarray(root_orient[i1]), a_rot))
+    pose_r = np.asarray(rot.matrix_slerp(jnp.asarray(pose_body[i0]), jnp.asarray(pose_body[i1]), a_rot))
+    return trans_r, root_r, pose_r, fc_r
+
+
+def pad_stream(x: np.ndarray, offset: int) -> np.ndarray:
+    """Temporal-offset padding: positive offset prepends copies of the first
+    frame, negative appends the last (reference ``multimodal.py:713-726``)."""
+    if offset == 0:
+        return x
+    if offset > 0:
+        pad = np.repeat(x[:1], offset, axis=0)
+        return np.concatenate([pad, x], axis=0)
+    pad = np.repeat(x[-1:], -offset, axis=0)
+    return np.concatenate([x, pad], axis=0)
+
+
+def _params_to_stage_dict(params: SmplParams) -> Dict[str, np.ndarray]:
+    return {
+        "trans": np.asarray(params.trans),
+        "root_orient": np.asarray(rot.normalize_rotation(params.root_orient)),
+        "betas": np.asarray(params.betas)[0],
+        "pose_body": np.asarray(rot.normalize_rotation(params.pose_body)),
+    }
+
+
+def multimodal_video_mocap(
+    img_smpl: ImgSmpl,
+    mocap_markers,  # Markers-like: get_points() [F, M, 3], get_frequency()
+    config: Dict[str, Any],
+    model: BodyModel,
+    offset: Optional[int] = None,
+    print_options: List[str] = [],
+    save_stages: bool = False,
+    iter_journal=None,
+) -> Dict[str, Any]:
+    """Solve SMPL parameters from unlabeled markers + video prior.
+
+    ``iter_journal``: optional ``pipeline.journal.IterationJournal`` capturing
+    per-stage parameter snapshots (the reference's ``iter_fn`` protocol).
+    """
+    t_start = time.time()
+    progress = "progress" in print_options
+
+    def log(msg):
+        if progress:
+            print(msg)
+
+    stages = SolveStages(model, config)
+    part_fitter = PartFitter(model, config)
+
+    mocap_freq = float(mocap_markers.get_frequency())
+
+    # ---- resample the HMR streams to mocap rate (multimodal.py:145-182)
+    o_trans, o_root_orient, o_pose_body, o_foot_contacts = resample_smpl_stream(
+        np.asarray(img_smpl.trans, np.float32),
+        np.asarray(img_smpl.root_orient, np.float32),
+        np.asarray(img_smpl.pose_body, np.float32),
+        np.asarray(img_smpl.foot_contacts, np.float32),
+        img_smpl.freq,
+        mocap_freq,
+    )
+    o_betas = np.sum(np.asarray(img_smpl.betas, np.float32), axis=0, keepdims=True)
+    o_betas = o_betas / max(float(np.sum(img_smpl.img_mask)), 1.0)
+
+    markers_np = np.nan_to_num(np.asarray(mocap_markers.get_points(), np.float32), nan=0.0)
+
+    # ---- temporal offset (multimodal.py:209-215)
+    offset = int(offset or 0)
+    o_pose_body = pad_stream(o_pose_body, offset)
+    o_root_orient = pad_stream(o_root_orient, offset)
+    o_trans = pad_stream(o_trans, offset)
+    o_foot_contacts = pad_stream(o_foot_contacts, offset)
+    markers_np = pad_stream(markers_np, -offset)
+
+    F = min(markers_np.shape[0], o_trans.shape[0])
+    markers_np = markers_np[:F]
+    o_trans, o_root_orient, o_pose_body, o_foot_contacts = (
+        o_trans[:F], o_root_orient[:F], o_pose_body[:F], o_foot_contacts[:F],
+    )
+    img_mask_np = np.asarray(img_smpl.img_mask, np.float32)
+    img_mask_np = pad_stream(img_mask_np, offset)[:F]
+
+    markers = jnp.asarray(markers_np)
+    weights = get_marker_mask(markers)
+    img_mask = jnp.asarray(img_mask_np)
+    o_pose_body_j = jnp.asarray(o_pose_body)
+    o_root_orient_j = jnp.asarray(o_root_orient)
+    o_trans_j = jnp.asarray(o_trans)
+    o_betas_j = jnp.asarray(o_betas)
+    o_foot_contacts_j = jnp.asarray(o_foot_contacts)
+
+    output: Dict[str, Any] = {"stages": {}} if save_stages else {}
+    total_evals = 0  # LBFGS closure evaluations across all stages/lanes
+
+    # ---- rigid segmentation (multimodal.py:219-230)
+    log("Stage: computing marker segmentation...")
+    groups = segment_rigid(markers_np)
+    marker_labels = np.zeros(markers_np.shape[:2], np.int64)
+    for gi, group in enumerate(groups):
+        marker_labels[:, group] = gi
+
+    # ---- AABB part-vs-full heuristic (multimodal.py:232-239)
+    zero_trans = SmplParams(
+        o_pose_body_j, o_betas_j * 0, o_root_orient_j, o_trans_j * 0
+    )
+    mean_out = _forward(model, zero_trans)
+    aabb_ratio = float(
+        jnp.median(
+            get_aabb_volume(get_aabb(markers)) / get_aabb_volume(get_aabb(mean_out["vertices"]))
+        )
+    )
+
+    chain = None
+    trans = jnp.median(markers, axis=1)
+    root_orient = o_root_orient_j
+    betas = o_betas_j
+
+    # ---- camera-aware rotational alignment (multimodal.py:253-335;
+    #      disabled in the shipped config: reprojection_part.num_iters == 0)
+    reproj_out = None
+    if config["find_best_part_fits"] and config["stages"]["reprojection_part"]["num_iters"] > 0:
+        log("Stage [reprojection]: multi-angle camera alignment (batched)...")
+        from uuo_mocap_tpu.pipeline.reprojection import ReprojectionStage
+
+        reproj = ReprojectionStage(model, config, "reprojection_part")
+        nA = int(config["stages"]["reprojection_part"]["num_angles"])
+        r_angles = jnp.asarray(np.arange(nA) * 2 * np.pi / max(nA, 1), jnp.float32)
+        hmr_root = jnp.asarray(np.asarray(img_smpl.hmr_root_orient, np.float32)[:F])
+        reproj_out = reproj(
+            r_angles, markers, weights, o_pose_body_j, jnp.asarray(betas),
+            jnp.asarray(np.asarray(img_smpl.betas, np.float32)[:F]),
+            hmr_root, trans,
+            jnp.asarray(np.asarray(img_smpl.camera_bbox, np.float32)[:F]),
+            jnp.asarray(np.asarray(img_smpl.center, np.float32)[:F]),
+            jnp.asarray(np.asarray(img_smpl.size, np.float32)[:F]),
+            jnp.asarray(np.asarray(img_smpl.scale, np.float32)[:F]),
+            img_mask,
+        )
+        criterion = config["stages"]["reprojection_part"].get("criterion", "reprojection")
+        key = "reproject" if criterion == "reprojection" else "chamfer"
+        best_a = int(np.argmin(np.asarray(reproj_out["metrics"][key])))
+        betas = jnp.mean(reproj_out["betas"][best_a], axis=0, keepdims=True)
+        o_betas_j = betas
+        root_orient = reproj_out["root_orient"][best_a]
+        o_root_orient_j = root_orient
+        trans = reproj_out["trans"][best_a]
+        o_trans_j = trans
+        if iter_journal is not None:
+            iter_journal.record(
+                "reprojection",
+                metrics={k: np.asarray(v) for k, v in reproj_out["metrics"].items()},
+                best=best_a,
+            )
+
+    # ---- part fitting (multimodal.py:341-368)
+    if config["find_best_part_fits"]:
+        log("Stage [part]: fitting kinematic subtrees...")
+        part_result = part_fitter(
+            markers=markers,
+            marker_weights=jnp.ones_like(weights),  # reference part chamfer is unweighted
+            o_pose_body=o_pose_body_j,
+            o_betas=o_betas_j,
+            root_orient0=o_root_orient_j,
+            num_rigid_groups=len(groups),
+            foot_contacts=o_foot_contacts_j,
+        )
+        marker_labels = np.asarray(part_result.marker_labels)
+        total_evals += part_result.lbfgs_evals
+        root_orient = part_result.params.root_orient
+        trans = part_result.params.trans
+        betas = part_result.params.betas
+        chain = part_result.chain
+        if save_stages:
+            output["stages"]["part"] = _params_to_stage_dict(
+                SmplParams(o_pose_body_j, betas, root_orient, trans)
+            )
+        if iter_journal is not None:
+            iter_journal.record("part", params=SmplParams(o_pose_body_j, betas, root_orient, trans))
+
+    # ---- full-body fallback (multimodal.py:372-375)
+    if (not config["find_best_part_fits"]) or aabb_ratio > 0.4:
+        trans = jnp.median(markers, axis=1)
+        root_orient = o_root_orient_j
+        betas = o_betas_j
+
+    marker_labels_mode_j = jnp.asarray(
+        np.apply_along_axis(lambda c: np.bincount(c).argmax(), 0, marker_labels)
+        if marker_labels.size
+        else np.zeros(markers_np.shape[1], np.int64)
+    )
+
+    # ---- root stage (multimodal.py:437-454; default config: disabled)
+    if config["stages"]["root"]["num_iters"] > 0:
+        log("Stage [root]: optimizing root...")
+        params_root, res_r = stages.root_stage(
+            markers, weights, o_pose_body_j, betas, root_orient, trans,
+            marker_labels_mode_j, o_betas_j,
+        )
+        total_evals += int(res_r.num_evals)
+        root_orient, trans, betas = params_root.root_orient, params_root.trans, params_root.betas
+        if save_stages:
+            output["stages"]["root"] = _params_to_stage_dict(params_root)
+        if iter_journal is not None:
+            iter_journal.record("root", params=params_root)
+
+    # ---- per-yaw-hypothesis chamfer + marker stages, batched over A
+    #      (multimodal.py:462-574 -> one vmapped program)
+    A = int(config["num_root_orient_angles"])
+    angles = jnp.asarray(np.arange(A) * 2 * np.pi / A, jnp.float32)
+
+    do_chamfer = config["stages"]["chamfer"]["num_iters"] > 0
+    do_marker = config["stages"]["marker"]["num_iters"] > 0
+
+    def solve_hypothesis(angle):
+        z_rot = rot.rot_z(jnp.broadcast_to(angle[None, None], (F, 1, 1)))
+        root_a = rot.normalize_rotation(z_rot @ root_orient)
+        params = SmplParams(o_pose_body_j, betas, root_a, trans)
+        evals = jnp.asarray(0)
+
+        if do_chamfer:
+            params, res_c = stages.chamfer_stage(
+                markers, weights, o_pose_body_j, o_betas_j,
+                params.pose_body, params.betas, params.root_orient, params.trans,
+                marker_labels_mode_j,
+            )
+            evals = evals + res_c.num_evals
+        chamfer_params = params
+
+        if do_marker:
+            attachment = stages.nearest_points(markers, params, img_mask)
+            params, res_m = stages.marker_stage(
+                markers, weights, o_pose_body_j, o_betas_j,
+                params.pose_body, params.betas, params.root_orient, params.trans,
+                attachment,
+            )
+            evals = evals + res_m.num_evals
+        score = stages.score_chamfer(markers, weights, params)
+        return chamfer_params, params, score, evals
+
+    log(f"Stages [chamfer+marker]: solving {A} yaw hypotheses (batched)...")
+    chamfer_all, marker_all, scores, evals_all = jax.vmap(solve_hypothesis)(angles)
+    total_evals += int(np.sum(np.asarray(evals_all)))
+    best = int(np.argmin(np.asarray(scores)))
+    log(f"  hypothesis scores: {np.asarray(scores)} -> best angle index {best}")
+
+    smpl_chamfer = jax.tree_util.tree_map(lambda x: x[best], chamfer_all)
+    params = jax.tree_util.tree_map(lambda x: x[best], marker_all)
+    if save_stages and do_chamfer:
+        output["stages"]["chamfer"] = _params_to_stage_dict(smpl_chamfer)
+    if save_stages and do_marker:
+        output["stages"]["marker"] = _params_to_stage_dict(params)
+    if iter_journal is not None:
+        iter_journal.record("chamfer", params=smpl_chamfer, scores=np.asarray(scores))
+        iter_journal.record("marker", params=params)
+
+    # ---- final refinement repeats (multimodal.py:609-677)
+    if do_marker:
+        for rep in range(int(config["stage_repeats"])):
+            log(f"Stage [marker_final]: refinement {rep + 1}/{config['stage_repeats']}...")
+            attachment = stages.nearest_points(markers, params, img_mask)
+            if config.get("recompute_marker_labels"):
+                labels = stages.marker_labels_from_attachment(attachment, F)
+                marker_labels = np.asarray(labels)
+                if config["stages"]["segment"]["rigid_filter"]:
+                    from uuo_mocap_tpu.pipeline.segmentation import filter_rigid
+
+                    marker_labels = filter_rigid(markers_np, marker_labels)
+            params, res_f = stages.marker_stage(
+                markers, weights, params.pose_body, o_betas_j,
+                params.pose_body, params.betas, params.root_orient, params.trans,
+                attachment,
+            )
+            total_evals += int(res_f.num_evals)
+            if iter_journal is not None:
+                iter_journal.record(f"marker_final_{rep}", params=params)
+        if save_stages:
+            output["stages"]["marker_final"] = _params_to_stage_dict(params)
+
+    # ---- output assembly (multimodal.py:679-710)
+    output["trans"] = np.asarray(params.trans)
+    output["root_orient"] = np.asarray(rot.normalize_rotation(params.root_orient))
+    output["pose_body"] = np.asarray(rot.normalize_rotation(params.pose_body))
+    output["betas"] = np.broadcast_to(np.asarray(params.betas), (F, 10)).copy()
+    output["mocap_frame_rate"] = mocap_freq
+    mocap_markers.set_points(markers_np)
+    output["mocap_markers"] = mocap_markers
+    output["markers_labels"] = marker_labels
+    if chain is not None:
+        output["chain"] = chain
+    output["solve_time_s"] = time.time() - t_start
+    output["lbfgs_evals"] = total_evals
+    return output
