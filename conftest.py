@@ -19,3 +19,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# persistent compile cache: the solver programs take minutes to build; reuse
+# them across test sessions
+_cache = os.path.expanduser("~/.cache/uuo_mocap_tpu_xla_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,112 @@
+"""Segmented batched L-BFGS driver: segment-size invariance, lane chunking,
+and parity with the single-program path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uuo_mocap_tpu.solver.lbfgs import BatchedLbfgs, LbfgsOptions, lbfgs_minimize_flat
+
+RNG = np.random.RandomState(4)
+
+
+def quad_fun(p, lane, shared):
+    t = lane["target"]
+    return jnp.sum((p["x"] - t) ** 2) + 0.01 * jnp.sum(p["x"] ** 4) + shared["bias"]
+
+
+def test_segment_size_invariance():
+    """10000 iters in one program vs many small segments: same optimum."""
+    targets = jnp.asarray(RNG.randn(4, 6).astype(np.float32))
+    p0 = {"x": jnp.zeros((4, 6))}
+    lanes = {"target": targets}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    outs = []
+    for seg in (5, 1000):
+        solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=100), segment_size=seg)
+        p_opt, res = solver.run(p0, lanes, shared)
+        outs.append((np.asarray(p_opt["x"]), np.asarray(res.f)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+
+
+def test_matches_single_program_path():
+    target = jnp.asarray(RNG.randn(5).astype(np.float32))
+
+    def flat_fun(x):
+        return jnp.sum((x - target) ** 2) + 0.01 * jnp.sum(x**4)
+
+    res_single = lbfgs_minimize_flat(flat_fun, jnp.zeros(5), LbfgsOptions(max_iter=80))
+
+    solver = BatchedLbfgs(
+        lambda p, lane, shared: flat_fun(p["x"]), LbfgsOptions(max_iter=80), segment_size=7
+    )
+    p_opt, res_b = solver.run({"x": jnp.zeros((1, 5))}, {"target": target[None]}, {})
+    np.testing.assert_allclose(np.asarray(p_opt["x"][0]), np.asarray(res_single.x), atol=1e-5)
+
+
+def test_lane_chunking_matches_unchunked():
+    L = 16
+    targets = jnp.asarray(RNG.randn(L, 4).astype(np.float32))
+    p0 = {"x": jnp.zeros((L, 4))}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    a = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=20)
+    pa, _ = a.run(p0, {"target": targets}, shared)
+    b = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=20, lane_chunk=4)
+    pb, _ = b.run(p0, {"target": targets}, shared)
+    np.testing.assert_allclose(np.asarray(pa["x"]), np.asarray(pb["x"]), atol=1e-5)
+
+
+def test_lane_chunk_mismatch_raises():
+    solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=5), segment_size=5, lane_chunk=4)
+    with pytest.raises(ValueError):
+        solver.run({"x": jnp.zeros((6, 3))}, {"target": jnp.zeros((6, 3))}, {"bias": jnp.asarray(0.0)})
+
+
+def test_early_convergence_stops_host_loop():
+    """All lanes converged -> loop exits long before max_iter segments."""
+    solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=10000), segment_size=50)
+    p_opt, res = solver.run(
+        {"x": jnp.zeros((2, 3))},
+        {"target": jnp.asarray([[0.5, -0.5, 1.0], [0.1, 0.2, 0.3]], jnp.float32)},
+        {"bias": jnp.asarray(0.0)},
+    )
+    assert (np.asarray(res.num_iters) < 200).all()
+    # quartic regularizer makes f* nonzero; check x converged to ~target
+    np.testing.assert_allclose(
+        np.asarray(p_opt["x"]), [[0.5, -0.5, 1.0], [0.1, 0.2, 0.3]], atol=0.05
+    )
+
+
+def test_mixed_convergence_and_max_iter_terminates():
+    """Regression: some lanes converge early while others run to max_iter —
+    the host loop must exit on the per-lane OR, not done.all() OR
+    iters.all() (which hangs forever)."""
+
+    def fun(p, lane, shared):
+        # lane 0: smooth quadratic (converges fast); lane 1: rough sine-sum
+        # landscape that won't satisfy the tolerances within max_iter
+        easy = jnp.sum((p["x"] - 1.0) ** 2)
+        hard = jnp.sum(jnp.sin(37.0 * p["x"]) * 0.5 + (p["x"] - 2.0) ** 2 * 0.001)
+        return jnp.where(lane["kind"] > 0, hard, easy)
+
+    solver = BatchedLbfgs(fun, LbfgsOptions(max_iter=40), segment_size=7)
+    p_opt, res = solver.run(
+        {"x": jnp.zeros((2, 4))}, {"kind": jnp.asarray([0, 1])}, {}
+    )
+    iters = np.asarray(res.num_iters)
+    done = iters  # loop returned -> no hang; lane 0 converged early
+    assert iters[0] < 40
+    np.testing.assert_allclose(np.asarray(p_opt["x"][0]), 1.0, atol=1e-3)
+
+
+def test_shape_change_rebuilds():
+    solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=30), segment_size=10)
+    for n in (3, 5):
+        p_opt, _ = solver.run(
+            {"x": jnp.zeros((2, n))}, {"target": jnp.ones((2, n))}, {"bias": jnp.asarray(0.0)}
+        )
+        assert p_opt["x"].shape == (2, n)
+        np.testing.assert_allclose(np.asarray(p_opt["x"]), 1.0, atol=1e-1)

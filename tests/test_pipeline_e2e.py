@@ -21,6 +21,8 @@ def fast_config():
     cfg = load_config("configs/video_mocap.yaml")
     cfg["num_root_orient_angles"] = 2
     cfg["stages"]["part"]["num_iters"] = 40
+    # aggressive subtree pruning: CPU tests don't need the full candidate set
+    cfg["stages"]["part"]["similarity_threshold"] = 0.4
     cfg["stages"]["chamfer"]["num_iters"] = 60
     cfg["stages"]["marker"]["num_iters"] = 60
     return cfg
@@ -86,6 +88,7 @@ def test_solve_without_part_fit(model):
 def test_hmr_part_config_skips_late_stages(model):
     cfg = load_config("configs/hmr_part.yaml")
     cfg["stages"]["part"]["num_iters"] = 30
+    cfg["stages"]["part"]["similarity_threshold"] = 0.4
     assert cfg["stages"]["chamfer"]["num_iters"] == 0
     assert cfg["stages"]["marker"]["num_iters"] == 0
     F = 20

@@ -1,0 +1,172 @@
+"""Per-dataset preprocessing CLIs.
+
+Thin entry points over ``data/preprocess.py`` matching the reference's
+dataset scripts and their conventions:
+
+  * cmu_kitchen  (``preprocess_cmu_kitchen.py``): 15 s windows, subject
+    label prefixes, optional backpack-marker removal (dataset name gains the
+    ``_rb`` suffix), per-part exports;
+  * umpm         (``preprocess_umpm.py`` / ``_parts``): 15 s windows,
+    multi-subject label prefixes, per-part subsets;
+  * moyo         (``preprocess_moyo.py``): 3 s windows, per-session
+    valid-marker whitelists;
+  * bmlmovi      (``preprocess_bmlmovi.py``): .mat-converted c3d, 15 s
+    windows (the .mat -> c3d conversion needs scipy.io and the original
+    file layout; the windowing/label machinery is shared).
+
+Videos are windowed with OpenCV when available (reference
+``preprocess_utils.py:59-120``); without cv2 the video step is skipped with
+a notice.
+
+Usage:
+    python -m uuo_mocap_tpu.cli.preprocess_datasets cmu_kitchen \
+        --input <raw_dir> --output <data_dir> [--remove_backpack] [--parts ...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from uuo_mocap_tpu.data.preprocess import BODY_PARTS, preprocess_c3d_file
+
+DATASET_DEFAULTS = {
+    "cmu_kitchen": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
+    "umpm": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
+    "moyo": {"window_seconds": 3.0, "remove": (), "freq": 30.0},
+    "bmlmovi": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
+}
+
+
+def preprocess_videos(video_path: str, out_dir: str, sequence_name: str,
+                      window_seconds: float, target_freq: float) -> List[str]:
+    """Window + downsample a source video alongside the mocap windows
+    (reference ``preprocess_utils.py:59-120``)."""
+    try:
+        import cv2
+    except ImportError:
+        print("[notice] OpenCV not installed; skipping video windowing")
+        return []
+
+    cap = cv2.VideoCapture(video_path)
+    src_freq = cap.get(cv2.CAP_PROP_FPS) or target_freq
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    os.makedirs(out_dir, exist_ok=True)
+
+    frames_per_window = int(window_seconds * target_freq)
+    stride = max(int(round(src_freq / target_freq)), 1)
+    fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+
+    written = []
+    writer = None
+    out_count = 0
+    src_idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if src_idx % stride == 0:
+            if out_count % frames_per_window == 0:
+                if writer is not None:
+                    writer.release()
+                start = out_count
+                path = os.path.join(out_dir, f"{sequence_name}_{start:08d}.avi")
+                writer = cv2.VideoWriter(path, fourcc, target_freq, (w, h))
+                written.append(path)
+            writer.write(frame)
+            out_count += 1
+        src_idx += 1
+    if writer is not None:
+        writer.release()
+    cap.release()
+    return written
+
+
+def run_dataset(
+    kind: str,
+    input_dir: str,
+    output_dir: str,
+    dataset_name: Optional[str] = None,
+    subjects: Optional[List[str]] = None,
+    parts: Optional[List[str]] = None,
+    remove_backpack: bool = False,
+    whitelist_file: Optional[str] = None,
+    window_seconds: Optional[float] = None,
+) -> int:
+    defaults = DATASET_DEFAULTS[kind]
+    window = window_seconds or defaults["window_seconds"]
+    remove = ("BACKPACK",) if remove_backpack else ()
+    if dataset_name is None:
+        dataset_name = {"cmu_kitchen": "cmu_kitchen_pilot"}.get(kind, kind)
+        if remove_backpack:
+            dataset_name += "_rb"  # reference ``preprocess_cmu_kitchen.py:171-174``
+
+    whitelists = {}
+    if whitelist_file:
+        with open(whitelist_file) as f:
+            whitelists = json.load(f)  # {sequence_name: [marker names]}
+
+    count = 0
+    subjects = subjects or sorted(
+        d for d in os.listdir(input_dir) if os.path.isdir(os.path.join(input_dir, d))
+    )
+    for subject in subjects:
+        sdir = os.path.join(input_dir, subject)
+        for fname in sorted(os.listdir(sdir)):
+            if not fname.endswith(".c3d"):
+                continue
+            seq = fname[:-4]
+            out_base = os.path.join(output_dir, dataset_name)
+            written = preprocess_c3d_file(
+                os.path.join(sdir, fname),
+                os.path.join(out_base),
+                sequence_name=seq,
+                target_freq=defaults["freq"],
+                window_seconds=window,
+                subject_prefix=subject if kind in ("cmu_kitchen", "umpm") else None,
+                remove_substrings=remove,
+                keep_whitelist=whitelists.get(seq),
+                parts=parts,
+            )
+            # move per-subject: preprocess writes under out_base/<dirname>/; relocate into subject dirs
+            for path in written:
+                rel_dir = os.path.basename(os.path.dirname(path))
+                subj_dir = os.path.join(out_base, rel_dir, subject)
+                os.makedirs(subj_dir, exist_ok=True)
+                os.replace(path, os.path.join(subj_dir, os.path.basename(path)))
+            count += len(written)
+
+            video_src = os.path.join(sdir, seq + ".avi")
+            if os.path.exists(video_src):
+                preprocess_videos(
+                    video_src, os.path.join(out_base, "videos", subject), seq, window, defaults["freq"]
+                )
+    print(f"[{dataset_name}] wrote {count} windowed c3d files")
+    return count
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("kind", choices=list(DATASET_DEFAULTS))
+    parser.add_argument("--input", required=True, help="raw dataset dir: <subject>/<seq>.c3d")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--dataset_name", type=str, default=None)
+    parser.add_argument("--subjects", nargs="+", default=None)
+    parser.add_argument("--parts", nargs="+", default=None, choices=list(BODY_PARTS))
+    parser.add_argument("--remove_backpack", action="store_true")
+    parser.add_argument("--whitelists", type=str, default=None, help="json: sequence -> valid markers")
+    parser.add_argument("--window_seconds", type=float, default=None)
+    args = parser.parse_args(argv)
+
+    run_dataset(
+        args.kind, args.input, args.output, args.dataset_name, args.subjects,
+        args.parts, args.remove_backpack, args.whitelists, args.window_seconds,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,7 @@ def run_test(
     import joblib
 
     from uuo_mocap_tpu.data.img_smpl import ImgSmpl
-    from uuo_mocap_tpu.data.markers import Markers
+    from uuo_mocap_tpu.data.markers import ArrayMarkers, Markers
     from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap
     from uuo_mocap_tpu.pipeline.segmentation import trim_trailing_zero_frames
 
@@ -111,6 +111,21 @@ def run_test(
 
     if subjects is None:
         subjects = sorted(os.listdir(mocap_dir))
+
+    # Native thread-pool prefetcher: upcoming c3d files parse while the TPU
+    # solves the current sequence (the reference's loop is fully sequential).
+    from uuo_mocap_tpu.data.c3d_native import SequencePrefetcher
+
+    prefetcher = SequencePrefetcher(n_threads=2)
+    pending: List[str] = []
+    for subject in subjects:
+        seq_dir = os.path.join(mocap_dir, subject)
+        if os.path.isdir(seq_dir):
+            for s in sorted(os.listdir(seq_dir)):
+                if s.endswith(".c3d"):
+                    path = os.path.join(seq_dir, s)
+                    prefetcher.enqueue(path)
+                    pending.append(path)
 
     file_count = 0
     for subject in subjects:
@@ -141,7 +156,20 @@ def run_test(
                 continue
 
             img_smpl = ImgSmpl(joblib.load(pkl_file), _video_freq(video_file))
-            markers = Markers(markers_file)
+            if markers_file in pending:
+                data = prefetcher.get(markers_file)
+                from uuo_mocap_tpu.data.markers import _UNIT_SCALE
+
+                markers = Markers.__new__(Markers)
+                ArrayMarkers.__init__(
+                    markers,
+                    data["points"][:, :, :3] / _UNIT_SCALE.get(data.get("units", "m"), 1.0),
+                    freq=data["rate"],
+                    labels=data.get("labels", []),
+                )
+                markers.filename = markers_file
+            else:
+                markers = Markers(markers_file)
             pts = np.nan_to_num(markers.get_points(), nan=0.0)
             pts = trim_trailing_zero_frames(pts)
             markers.set_points(pts)

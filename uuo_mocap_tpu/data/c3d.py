@@ -23,9 +23,23 @@ _BLOCK = 512
 _PROC_INTEL = 84  # 83 + 1
 
 
-def read_c3d(filename: str) -> Dict[str, Any]:
+def read_c3d(filename: str, use_native: bool = True) -> Dict[str, Any]:
     """Read a C3D file -> dict with ``points`` [F, M, 4] (x, y, z, residual),
-    ``rate``, ``units``, ``labels``, ``first_frame``."""
+    ``rate``, ``units``, ``labels``, ``first_frame``.
+
+    Tries the native C++ parser (cpp/libuuoc3d.so, built on demand) first —
+    it runs off the GIL and backs the sequence prefetcher — falling back to
+    this pure-Python implementation.
+    """
+    if use_native:
+        try:
+            from uuo_mocap_tpu.data.c3d_native import read_c3d_native
+
+            out = read_c3d_native(filename)
+            if out is not None:
+                return out
+        except ValueError:
+            pass  # native parse failed; retry in Python for a better error
     with open(filename, "rb") as f:
         raw = f.read()
 

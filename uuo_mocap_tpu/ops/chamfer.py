@@ -17,18 +17,21 @@ flip nearest-vertex assignments).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _P = jax.lax.Precision.HIGHEST
 
-# Frame-axis chunk for scanned reductions.  A full [F, M, V] (or worse,
-# [lanes, F, M, V] under vmap) distance tensor OOMs HBM at the canonical
-# 450-frame x 6890-vertex workload; scanning frame chunks keeps the live set
-# at [lanes, CHUNK, M, V] while the MXU still sees well-shaped matmuls.
-DEFAULT_FRAME_CHUNK = 32
+# Frame-axis chunk for scanned reductions.  None (default): XLA fuses the
+# subtract-square-min pipeline and never materializes [.., M, V] (measured
+# ~0.1 ms fwd+bwd at the canonical 4x450x41x6890 workload; a chunked scan
+# BLOCKS that fusion and costs ~17 ms/eval).  Set a chunk size only for
+# shapes where fusion provably fails and HBM overflows.
+DEFAULT_FRAME_CHUNK = None
 
 
 def _scan_frame_chunks(step_fn, arrays, num_frames: int, chunk: int):
@@ -79,16 +82,67 @@ def nearest_vertex(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
     return jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def min_sqdist(x: jnp.ndarray, y: jnp.ndarray, y_bias: jnp.ndarray) -> jnp.ndarray:
+    """min over V of d^2(x, y) + y_bias:  [..., M, 3] x [..., V, 3] x [..., V]
+    -> [..., M].  ``y_bias`` masks vertices out (0 = keep, big = exclude).
+
+    Custom VJP: the native backward of min-over-V materializes the full
+    [..., M, V] equality mask (~2 GB at the canonical 4x450x41x6890 shape,
+    measured +34 ms/eval); here the backward is an argmin gather plus an
+    [..., M]-sized scatter-add — O(M), not O(M*V).
+    """
+    d2 = squared_distance_matrix(x, y) + y_bias[..., None, :]
+    return jnp.min(d2, axis=-1)
+
+
+def _min_sqdist_fwd(x, y, y_bias):
+    d2 = squared_distance_matrix(x, y) + y_bias[..., None, :]
+    idx = jnp.argmin(d2, axis=-1)  # [..., M]
+    # two fused reductions over the same producer: XLA recomputes d2 per
+    # reduction without materializing it (take_along_axis would force the
+    # full [..., M, V] tensor into HBM — ~5 GB at the canonical shape)
+    val = jnp.min(d2, axis=-1)
+    return val, (x, y, idx)
+
+
+def _min_sqdist_bwd(res, g):
+    x, y, idx = res
+    batch_shape = x.shape[:-2]
+    M = x.shape[-2]
+    V = y.shape[-2]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    x_f = x.reshape(B, M, 3)
+    y_f = y.reshape(B, V, 3)
+    idx_f = idx.reshape(B, M)
+    g_f = g.reshape(B, M)
+
+    y_near = jnp.take_along_axis(y_f, idx_f[..., None], axis=-2)  # [B, M, 3]
+    diff = 2.0 * (x_f - y_near) * g_f[..., None]  # d d2/dx
+    dx = diff.reshape(x.shape)
+
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
+    dy = jnp.zeros_like(y_f).at[rows, idx_f].add(-diff)
+    # bias grad: sum of g at each selected vertex
+    dbias = jnp.zeros((B, V), g.dtype).at[rows, idx_f].add(g_f)
+    return dx, dy.reshape(y.shape), dbias.reshape(y.shape[:-1])
+
+
+min_sqdist.defvjp(_min_sqdist_fwd, _min_sqdist_bwd)
+
+
 def _min_over_rows(x: jnp.ndarray, y: jnp.ndarray, chunk: Optional[int]) -> jnp.ndarray:
     """min_v d^2(x, y) [..., M]; frame-chunk-scanned for [F, M, 3] inputs."""
+    zero_bias = jnp.zeros(y.shape[:-1], y.dtype)
     if chunk is None or x.ndim != 3 or x.shape[0] <= chunk:
-        return jnp.min(squared_distance_matrix(x, y), axis=-1)
+        return min_sqdist(x, y, zero_bias)
 
     def step(arrs):
-        x_c, y_c = arrs
-        return jnp.min(squared_distance_matrix(x_c, y_c), axis=-1)
+        x_c, y_c, b_c = arrs
+        return min_sqdist(x_c, y_c, b_c)
 
-    return _scan_frame_chunks(step, (x, y), x.shape[0], chunk)
+    return _scan_frame_chunks(step, (x, y, zero_bias), x.shape[0], chunk)
 
 
 def masked_chamfer(
@@ -141,41 +195,37 @@ def masked_chamfer_vertex_subset(
     (``markers_utils.py:469-475``): invalid vertices are pushed to +inf
     instead of gathered, so every subtree in a padded batch shares one shape.
     """
-    big = jnp.asarray(1e10, x.dtype)
-    V = y.shape[-2]
-    M = x.shape[-2]
+    BIG = 1e10
+    ym_flat = jnp.broadcast_to(y_mask, y.shape[:-1]).astype(x.dtype)  # [..., V]
+    xm = jnp.broadcast_to(x_mask, x.shape[:-1]).astype(x.dtype)
+    y_bias = (1.0 - (ym_flat > 0)) * BIG
     chunked = frame_chunk is not None and x.ndim == 3 and x.shape[0] > frame_chunk
-    ym_flat = jnp.broadcast_to(y_mask, y.shape[:-1])  # [..., V]
-    xm = x_mask.astype(x.dtype)
 
     if not chunked:
-        d2 = squared_distance_matrix(x, y)  # [..., M, V]
-        d2_x = jnp.min(jnp.where(ym_flat[..., None, :] > 0, d2, big), axis=-1)
+        d2_x = min_sqdist(x, y, y_bias)  # [..., M]
         loss = jnp.sum(d2_x * xm) / jnp.maximum(jnp.sum(xm), 1e-12)
         if single_directional:
             return loss
-        d2_y = jnp.min(jnp.where(x_mask[..., None, :] > 0, jnp.swapaxes(d2, -1, -2), big), axis=-1)
-        wy = ym_flat.astype(x.dtype)
-        return loss + jnp.sum(d2_y * wy) / jnp.maximum(jnp.sum(wy), 1e-12)
+        x_bias = (1.0 - (xm > 0)) * BIG
+        d2_y = min_sqdist(y, x, x_bias)
+        return loss + jnp.sum(d2_y * ym_flat) / jnp.maximum(jnp.sum(ym_flat), 1e-12)
 
     F = x.shape[0]
-    ym_f = jnp.broadcast_to(ym_flat, (F, V)) if ym_flat.ndim == 1 else ym_flat
+    x_bias = (1.0 - (xm > 0)) * BIG
 
     def step(arrs):
-        x_c, y_c, ym_c, xm_c = arrs
-        d2 = squared_distance_matrix(x_c, y_c)  # [C, M, V]
-        d2_x = jnp.min(jnp.where(ym_c[:, None, :] > 0, d2, big), axis=-1)  # [C, M]
+        x_c, y_c, yb_c, xb_c = arrs
+        d2_x = min_sqdist(x_c, y_c, yb_c)  # [C, M]
         if single_directional:
-            return d2_x, jnp.zeros_like(ym_c)
-        d2_y = jnp.min(jnp.where(xm_c[:, None, :] > 0, jnp.swapaxes(d2, -1, -2), big), axis=-1)
+            return d2_x, jnp.zeros(yb_c.shape, x_c.dtype)
+        d2_y = min_sqdist(y_c, x_c, xb_c)
         return d2_x, d2_y
 
-    d2_x, d2_y = _scan_frame_chunks(step, (x, y, ym_f, xm), F, frame_chunk)
+    d2_x, d2_y = _scan_frame_chunks(step, (x, y, y_bias, x_bias), F, frame_chunk)
     loss = jnp.sum(d2_x * xm) / jnp.maximum(jnp.sum(xm), 1e-12)
     if single_directional:
         return loss
-    wy = ym_f.astype(x.dtype)
-    return loss + jnp.sum(d2_y * wy) / jnp.maximum(jnp.sum(wy), 1e-12)
+    return loss + jnp.sum(d2_y * ym_flat) / jnp.maximum(jnp.sum(ym_flat), 1e-12)
 
 
 def chamfer_by_part(

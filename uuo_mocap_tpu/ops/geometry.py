@@ -55,17 +55,26 @@ def geometric_median(points: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
     return jax.lax.fori_loop(0, iters, body, y0)
 
 
-def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+def vertex_normals(vertices, faces) -> jnp.ndarray:
     """Area-weighted vertex normals [..., V, 3] (replaces trimesh
     ``vertex_normals`` used by the synthetic marker generators,
-    reference ``utils/marker_layout.py:68-73``)."""
-    t0 = vertices[..., faces[:, 0], :]
-    t1 = vertices[..., faces[:, 1], :]
-    t2 = vertices[..., faces[:, 2], :]
-    fn = jnp.cross(t1 - t0, t2 - t0)  # area-weighted face normals [..., T, 3]
-    V = vertices.shape[-2]
-    vn = jnp.zeros(vertices.shape, vertices.dtype)
-    for k in range(3):
-        vn = vn.at[..., faces[:, k], :].add(fn)
-    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
-    return vn / jnp.maximum(norm, 1e-12)
+    reference ``utils/marker_layout.py:68-73``).
+
+    Host-side numpy: this feeds data *generation*, not the solve path, and
+    the scatter-add form compiles pathologically on TPU (tiny minor dims +
+    serialized scatters).
+    """
+    import numpy as np
+
+    v = np.asarray(vertices)
+    f = np.asarray(faces)
+    t0, t1, t2 = v[..., f[:, 0], :], v[..., f[:, 1], :], v[..., f[:, 2], :]
+    fn = np.cross(t1 - t0, t2 - t0)  # area-weighted face normals [..., T, 3]
+    vn = np.zeros(v.shape, v.dtype)
+    flat_vn = vn.reshape(-1, v.shape[-2], 3)
+    flat_fn = fn.reshape(-1, f.shape[0], 3)
+    for b in range(flat_vn.shape[0]):
+        for k in range(3):
+            np.add.at(flat_vn[b], f[:, k], flat_fn[b])
+    norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+    return jnp.asarray(vn / np.maximum(norm, 1e-12))

@@ -150,12 +150,39 @@ def multimodal_video_mocap(
     output: Dict[str, Any] = {"stages": {}} if save_stages else {}
     total_evals = 0  # LBFGS closure evaluations across all stages/lanes
 
-    # ---- rigid segmentation (multimodal.py:219-230)
+    # ---- marker segmentation (multimodal.py:217-230): rigid clustering
+    #      (cluster mode, shipped default) or the neural segmenter (network)
     log("Stage: computing marker segmentation...")
-    groups = segment_rigid(markers_np)
-    marker_labels = np.zeros(markers_np.shape[:2], np.int64)
-    for gi, group in enumerate(groups):
-        marker_labels[:, group] = gi
+    part_mode = config["stages"]["part"].get("mode", "cluster")
+    fit_marker_mask = None  # network mode restricts the fit to the chain's markers
+    if part_mode == "network":
+        from uuo_mocap_tpu.pipeline.segmentation import (
+            chains_from_labels,
+            merge_symmetric_labels,
+            segment_markers_network,
+        )
+
+        hmr_joints = None  # the multimodal segmenter consumes HMR joints when available
+        marker_labels = segment_markers_network(
+            markers_np, mocap_freq,
+            checkpoint_root=config.get("checkpoints_dir", "./checkpoints"),
+            joints=hmr_joints,
+        )
+        merged = merge_symmetric_labels(
+            np.apply_along_axis(lambda c: np.bincount(c).argmax(), 0, marker_labels)
+        )
+        chains = chains_from_labels(merged, model.parents)
+        largest = chains[0]
+        log(f"  network chains: {[len(c) for c in chains]}; fitting chain {largest}")
+        num_fit_groups = len(largest)
+        fit_marker_mask = np.isin(merged, largest).astype(np.float32)  # [M]
+        groups = [list(np.where(merged == j)[0]) for j in largest]
+    else:
+        groups = segment_rigid(markers_np)
+        marker_labels = np.zeros(markers_np.shape[:2], np.int64)
+        for gi, group in enumerate(groups):
+            marker_labels[:, group] = gi
+        num_fit_groups = len(groups)
 
     # ---- AABB part-vs-full heuristic (multimodal.py:232-239)
     zero_trans = SmplParams(
@@ -213,13 +240,16 @@ def multimodal_video_mocap(
     # ---- part fitting (multimodal.py:341-368)
     if config["find_best_part_fits"]:
         log("Stage [part]: fitting kinematic subtrees...")
+        fit_weights = jnp.ones_like(weights)  # reference part chamfer is unweighted
+        if fit_marker_mask is not None:  # network mode: only the chain's markers
+            fit_weights = fit_weights * jnp.asarray(fit_marker_mask)[None, :]
         part_result = part_fitter(
             markers=markers,
-            marker_weights=jnp.ones_like(weights),  # reference part chamfer is unweighted
+            marker_weights=fit_weights,
             o_pose_body=o_pose_body_j,
             o_betas=o_betas_j,
             root_orient0=o_root_orient_j,
-            num_rigid_groups=len(groups),
+            num_rigid_groups=num_fit_groups,
             foot_contacts=o_foot_contacts_j,
         )
         marker_labels = np.asarray(part_result.marker_labels)
@@ -240,6 +270,33 @@ def multimodal_video_mocap(
         trans = jnp.median(markers, axis=1)
         root_orient = o_root_orient_j
         betas = o_betas_j
+
+    # ---- full-body reprojection alignment (multimodal.py:378-431;
+    #      disabled in the shipped config: reprojection_full.num_iters == 0)
+    if config["stages"]["reprojection_full"]["num_iters"] > 0:
+        log("Stage [reprojection_full]: multi-angle camera alignment (batched)...")
+        from uuo_mocap_tpu.pipeline.reprojection import ReprojectionStage
+
+        # the reference re-reads num_iters/losses from reprojection_part here
+        # (multimodal.py:410); num_angles comes from reprojection_full
+        reproj_f = ReprojectionStage(model, config, "reprojection_part")
+        nA = int(config["stages"]["reprojection_full"]["num_angles"])
+        rf_angles = jnp.asarray(np.arange(nA) * 2 * np.pi / max(nA, 1), jnp.float32)
+        hmr_root = jnp.asarray(np.asarray(img_smpl.hmr_root_orient, np.float32)[:F])
+        rf_out = reproj_f(
+            rf_angles, markers, weights, o_pose_body_j, jnp.asarray(betas),
+            jnp.asarray(np.asarray(img_smpl.betas, np.float32)[:F]),
+            hmr_root, trans,
+            jnp.asarray(np.asarray(img_smpl.camera_bbox, np.float32)[:F]),
+            jnp.asarray(np.asarray(img_smpl.center, np.float32)[:F]),
+            jnp.asarray(np.asarray(img_smpl.size, np.float32)[:F]),
+            jnp.asarray(np.asarray(img_smpl.scale, np.float32)[:F]),
+            img_mask,
+        )
+        best_a = int(np.argmin(np.asarray(rf_out["metrics"]["reproject"])))
+        betas = jnp.mean(rf_out["betas"][best_a], axis=0, keepdims=True)
+        root_orient = rf_out["root_orient"][best_a]
+        trans = rf_out["trans"][best_a]
 
     marker_labels_mode_j = jnp.asarray(
         np.apply_along_axis(lambda c: np.bincount(c).argmax(), 0, marker_labels)
@@ -269,35 +326,38 @@ def multimodal_video_mocap(
     do_chamfer = config["stages"]["chamfer"]["num_iters"] > 0
     do_marker = config["stages"]["marker"]["num_iters"] > 0
 
-    def solve_hypothesis(angle):
-        z_rot = rot.rot_z(jnp.broadcast_to(angle[None, None], (F, 1, 1)))
-        root_a = rot.normalize_rotation(z_rot @ root_orient)
-        params = SmplParams(o_pose_body_j, betas, root_a, trans)
-        evals = jnp.asarray(0)
-
-        if do_chamfer:
-            params, res_c = stages.chamfer_stage(
-                markers, weights, o_pose_body_j, o_betas_j,
-                params.pose_body, params.betas, params.root_orient, params.trans,
-                marker_labels_mode_j,
-            )
-            evals = evals + res_c.num_evals
-        chamfer_params = params
-
-        if do_marker:
-            attachment = stages.nearest_points(markers, params, img_mask)
-            params, res_m = stages.marker_stage(
-                markers, weights, o_pose_body_j, o_betas_j,
-                params.pose_body, params.betas, params.root_orient, params.trans,
-                attachment,
-            )
-            evals = evals + res_m.num_evals
-        score = stages.score_chamfer(markers, weights, params)
-        return chamfer_params, params, score, evals
-
+    # Every stage advances all A hypotheses together through the segmented
+    # batched L-BFGS driver — bounded device executions, no host sync of
+    # parameters between iterations.
     log(f"Stages [chamfer+marker]: solving {A} yaw hypotheses (batched)...")
-    chamfer_all, marker_all, scores, evals_all = jax.vmap(solve_hypothesis)(angles)
-    total_evals += int(np.sum(np.asarray(evals_all)))
+
+    seed_roots = jax.jit(jax.vmap(
+        lambda angle: rot.normalize_rotation(
+            rot.rot_z(jnp.broadcast_to(angle[None, None], (F, 1, 1))) @ root_orient
+        )
+    ))
+    root0_batch = seed_roots(angles)  # [A, F, 1, 3, 3]
+
+    if do_chamfer:
+        chamfer_all, res_c = stages.chamfer_stage_batched(
+            markers, weights, o_pose_body_j, o_betas_j,
+            o_pose_body_j, betas, root0_batch, trans, marker_labels_mode_j,
+        )
+        total_evals += int(np.sum(np.asarray(res_c.num_evals)))
+    else:
+        tile = lambda x: jnp.broadcast_to(x[None], (A,) + x.shape)
+        chamfer_all = SmplParams(tile(o_pose_body_j), tile(betas), root0_batch, tile(trans))
+
+    if do_marker:
+        attach_all = stages.nearest_points_batched(markers, chamfer_all, img_mask)
+        marker_all, res_m = stages.marker_stage_batched(
+            markers, weights, o_pose_body_j, o_betas_j, chamfer_all, attach_all,
+        )
+        total_evals += int(np.sum(np.asarray(res_m.num_evals)))
+    else:
+        marker_all = chamfer_all
+
+    scores = stages.score_chamfer_batched(markers, weights, marker_all)
     best = int(np.argmin(np.asarray(scores)))
     log(f"  hypothesis scores: {np.asarray(scores)} -> best angle index {best}")
 
@@ -323,12 +383,13 @@ def multimodal_video_mocap(
                     from uuo_mocap_tpu.pipeline.segmentation import filter_rigid
 
                     marker_labels = filter_rigid(markers_np, marker_labels)
-            params, res_f = stages.marker_stage(
+            params_b, res_f = stages.marker_stage_batched(
                 markers, weights, params.pose_body, o_betas_j,
-                params.pose_body, params.betas, params.root_orient, params.trans,
-                attachment,
+                jax.tree_util.tree_map(lambda x: x[None], params),
+                jax.tree_util.tree_map(lambda x: x[None], attachment),
             )
-            total_evals += int(res_f.num_evals)
+            params = jax.tree_util.tree_map(lambda x: x[0], params_b)
+            total_evals += int(np.sum(np.asarray(res_f.num_evals)))
             if iter_journal is not None:
                 iter_journal.record(f"marker_final_{rep}", params=params)
         if save_stages:

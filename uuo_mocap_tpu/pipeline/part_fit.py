@@ -4,12 +4,13 @@ TPU-native re-design of the reference's ``find_best_part_fits``
 (``markers_utils.py:274-638``): where the reference runs a sequential
 tqdm loop of S independent LBFGS fits (one per candidate subtree), here
 every subtree becomes a lane of a padded [S, V] vertex-mask batch and all
-S fits run as ONE vmapped L-BFGS program (SURVEY.md §2.8, §7 hard part 4).
+S fits advance together through the segmented ``BatchedLbfgs`` driver
+(SURVEY.md §2.8, §7 hard part 4), lane-chunked to bound HBM.
 
 Flow (cluster mode, the shipped default):
   host:   rigid clusters -> chain length k -> enumerate subtrees with k
           nodes -> dedup at 0.9 overlap -> [S, V] vertex masks
-  device: vmapped fit of {yaw, trans[F,3], betas[10]} per subtree with
+  device: batched fit of {yaw, trans[F,3], betas[10]} per subtree with
           single-directional chamfer onto the masked vertex subset
   device: bidirectional chamfer score per subtree -> argmin
   device: relabel markers by nearest vertex of the winning fit
@@ -28,9 +29,9 @@ from uuo_mocap_tpu.body.model import BodyModel
 from uuo_mocap_tpu.ops import rotations as rot
 from uuo_mocap_tpu.ops.chamfer import masked_chamfer_vertex_subset, squared_distance_matrix
 from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume
-from uuo_mocap_tpu.pipeline.stages import SmplParams, _forward, _stage_opts
-from uuo_mocap_tpu.solver import LbfgsOptions, lbfgs_minimize
+from uuo_mocap_tpu.pipeline.stages import SEGMENT_SIZE, SmplParams, _forward, _stage_opts
 from uuo_mocap_tpu.solver import losses as L
+from uuo_mocap_tpu.solver.lbfgs import BatchedLbfgs
 
 
 class PartFitResult(NamedTuple):
@@ -44,9 +45,12 @@ class PartFitResult(NamedTuple):
     lbfgs_evals: int  # total closure evaluations across all subtree lanes
 
 
+LANE_CHUNK = 8  # subtree lanes per lax.map step — bounds HBM
+
+
 def enumerate_subtree_masks(
     model: BodyModel, num_bones: int, similarity_threshold: float | None = 0.9,
-    pad_multiple: int = 8,
+    pad_multiple: int = LANE_CHUNK,
 ) -> Tuple[np.ndarray, List[List[int]]]:
     """Host: subtrees with ``num_bones`` nodes -> padded [S, V] vertex masks.
 
@@ -76,84 +80,86 @@ class PartFitter:
         self.vertex_labels = jnp.argmax(model.lbs_weights, axis=-1)
 
     @functools.cached_property
-    def _fit_batch(self):
+    def _solver(self) -> BatchedLbfgs:
         cfg = self.config
         scfg = cfg["stages"]["part"]
         losses = scfg["losses"]
-        opts = _stage_opts(cfg, "part")
         model = self.model
-        vertex_labels = self.vertex_labels
 
-        def fit_one(vertex_mask, markers, marker_weights, o_pose_body, o_betas,
-                    root_orient0, foot_contacts):
+        def fun(p, lane, shared):
             """One subtree lane (reference ``markers_utils.py:416-564``)."""
+            vertex_mask = lane["vertex_mask"]
+            markers = shared["markers"]
             F = markers.shape[0]
-            trans0 = jnp.median(markers, axis=1)  # reference seeds at marker median (:418)
-            params0 = {"z": jnp.zeros((1, 1, 1)), "trans": trans0, "betas": o_betas}
+            z_root = rot.rot_z(jnp.broadcast_to(p["z"], (F, 1, 1))) @ shared["root_orient0"]
+            sp = SmplParams(shared["o_pose_body"], p["betas"], z_root, p["trans"])
+            out = _forward(model, sp)
+            total = 0.0
+            # single-directional chamfer markers -> masked part vertices
+            # (reference markers_utils.py:471-476; unweighted there)
+            total += losses["chamfer"] * masked_chamfer_vertex_subset(
+                markers, out["vertices"], shared["marker_weights"], vertex_mask, single_directional=True
+            )
+            if "reg_betas" in losses:
+                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+            if "foot_contact" in losses:
+                total += losses["foot_contact"] * L.foot_contact_loss(out["joints"], shared["foot_contacts"])
+            if "foot_velocity" in losses:
+                total += losses["foot_velocity"] * L.foot_velocity_loss(out["joints"], shared["foot_contacts"])
+            if "velocity" in losses:
+                total += losses["velocity"] * L.velocity_loss(p["trans"], jnp.mean(markers, axis=1))
+            if "ground" in losses:
+                total += losses["ground"] * L.ground_loss_vertices(out["vertices"])
+            return total
 
-            def apply_root(z):
-                return rot.rot_z(jnp.broadcast_to(z, (F, 1, 1))) @ root_orient0
+        return BatchedLbfgs(fun, _stage_opts(cfg, "part"), segment_size=SEGMENT_SIZE, lane_chunk=LANE_CHUNK)
 
-            def loss_fn(p):
-                z_root = apply_root(p["z"])
-                sp = SmplParams(o_pose_body, p["betas"], z_root, p["trans"])
-                out = _forward(model, sp)
-                total = 0.0
-                # single-directional chamfer markers -> masked part vertices
-                # (reference markers_utils.py:471-476; unweighted there)
-                total += losses["chamfer"] * masked_chamfer_vertex_subset(
-                    markers, out["vertices"], marker_weights, vertex_mask, single_directional=True
-                )
-                if "reg_betas" in losses:
-                    total += losses["reg_betas"] * L.mse(p["betas"], o_betas)
-                if "foot_contact" in losses:
-                    total += losses["foot_contact"] * L.foot_contact_loss(out["joints"], foot_contacts)
-                if "foot_velocity" in losses:
-                    total += L.foot_velocity_loss(out["joints"], foot_contacts) * losses["foot_velocity"]
-                if "velocity" in losses:
-                    total += losses["velocity"] * L.velocity_loss(p["trans"], jnp.mean(markers, axis=1))
-                if "ground" in losses:
-                    total += losses["ground"] * L.ground_loss_vertices(out["vertices"])
-                return total
+    @functools.cached_property
+    def _score_batch(self):
+        model = self.model
 
-            p_opt, res = lbfgs_minimize(loss_fn, params0, opts)
-
-            z_root = apply_root(p_opt["z"])
-            sp = SmplParams(o_pose_body, p_opt["betas"], z_root, p_opt["trans"])
+        def score_one(z, betas, trans, vertex_mask, markers, marker_weights, o_pose_body, root_orient0):
+            F = markers.shape[0]
+            z_root = rot.rot_z(jnp.broadcast_to(z, (F, 1, 1))) @ root_orient0
+            sp = SmplParams(o_pose_body, betas, z_root, trans)
             out = _forward(model, sp)
             # bidirectional chamfer score (reference markers_utils.py:575-580)
-            score = masked_chamfer_vertex_subset(
+            return masked_chamfer_vertex_subset(
                 markers, out["vertices"], marker_weights, vertex_mask, single_directional=False
             )
-            return p_opt["betas"], z_root, p_opt["trans"], score, out["vertices"], res.num_evals
 
-        LANE_CHUNK = 8  # subtree lanes per step: bounds HBM at ~8 full LBS
-        # forwards + chamfer chunks (the padded batch is a multiple of 8)
+        vm = jax.vmap(score_one, in_axes=(0, 0, 0, 0, None, None, None, None))
 
         @jax.jit
-        def run(vertex_masks, markers, marker_weights, o_pose_body, o_betas,
-                root_orient0, foot_contacts):
-            S = vertex_masks.shape[0]
-            grouped = vertex_masks.reshape(S // LANE_CHUNK, LANE_CHUNK, -1)
+        def run(z_b, betas_b, trans_b, masks, markers, marker_weights, o_pose_body, root_orient0):
+            S = masks.shape[0]
+            G = S // LANE_CHUNK
 
-            def group_fn(masks_g):
-                return jax.vmap(fit_one, in_axes=(0, None, None, None, None, None, None))(
-                    masks_g, markers, marker_weights, o_pose_body, o_betas, root_orient0, foot_contacts
-                )
+            def g(a):
+                return a.reshape((G, LANE_CHUNK) + a.shape[1:])
 
-            out = jax.lax.map(group_fn, grouped)  # loops groups, vmaps within
-            return jax.tree_util.tree_map(lambda a: a.reshape((S,) + a.shape[2:]), out)
+            out = jax.lax.map(
+                lambda args: vm(*args, markers, marker_weights, o_pose_body, root_orient0),
+                (g(z_b), g(betas_b), g(trans_b), g(masks)),
+            )
+            return out.reshape(S)
 
         return run
 
     @functools.cached_property
     def _relabel(self):
         vertex_labels = self.vertex_labels
+        model = self.model
 
         @jax.jit
-        def run(markers, best_vertices):
+        def run(markers, best_z, best_betas, best_trans, o_pose_body, root_orient0):
             """Nearest-vertex label per marker, averaged over frames
             (reference ``markers_utils.py:592-597``)."""
+            F = markers.shape[0]
+            z_root = rot.rot_z(jnp.broadcast_to(best_z, (F, 1, 1))) @ root_orient0
+            sp = SmplParams(o_pose_body, best_betas, z_root, best_trans)
+            out = _forward(model, sp)
+            best_vertices = out["vertices"]
 
             def body(acc, inp):
                 m_f, v_f = inp
@@ -162,7 +168,7 @@ class PartFitter:
             M, V = markers.shape[1], best_vertices.shape[1]
             acc, _ = jax.lax.scan(body, jnp.zeros((M, V), markers.dtype), (markers, best_vertices))
             nearest = jnp.argmin(acc, axis=-1)  # [M]
-            return vertex_labels[nearest]
+            return vertex_labels[nearest], z_root
 
         return run
 
@@ -180,10 +186,10 @@ class PartFitter:
         F, M, _ = markers.shape
 
         if scfg.get("use_full_skeleton"):
-            masks = np.ones((1, self.model.num_vertices), np.float32)
+            masks_np = np.ones((LANE_CHUNK, self.model.num_vertices), np.float32)
             subtrees = [list(range(len(self.model.parents)))]
         else:
-            masks, subtrees = enumerate_subtree_masks(
+            masks_np, subtrees = enumerate_subtree_masks(
                 self.model,
                 num_bones=num_rigid_groups,
                 similarity_threshold=scfg.get("similarity_threshold"),
@@ -191,17 +197,35 @@ class PartFitter:
         if foot_contacts is None:
             foot_contacts = jnp.zeros((F, 2), markers.dtype)
 
-        betas_s, roots_s, trans_s, scores_s, verts_s, evals_s = self._fit_batch(
-            jnp.asarray(masks), markers, marker_weights, o_pose_body, o_betas,
-            root_orient0, foot_contacts,
+        masks = jnp.asarray(masks_np)
+        S = masks.shape[0]
+        trans0 = jnp.median(markers, axis=1)  # reference seeds at marker median (:418)
+
+        def tile(x):
+            return jnp.broadcast_to(x[None], (S,) + x.shape)
+
+        params0 = {"z": jnp.zeros((S, 1, 1, 1)), "trans": tile(trans0), "betas": tile(o_betas)}
+        lane = {"vertex_mask": masks}
+        shared = {
+            "markers": markers, "marker_weights": marker_weights,
+            "o_pose_body": o_pose_body, "o_betas": o_betas,
+            "root_orient0": root_orient0, "foot_contacts": foot_contacts,
+        }
+        p_opt, res = self._solver.run(params0, lane, shared)
+
+        scores_s = self._score_batch(
+            p_opt["z"], p_opt["betas"], p_opt["trans"], masks,
+            markers, marker_weights, o_pose_body, root_orient0,
         )
 
         # padding lanes repeat real subtrees, so plain argmin is safe
         scores = np.asarray(scores_s)
         best = int(np.argmin(scores))
-        order = np.argsort(scores)
 
-        labels = self._relabel(markers, verts_s[best])  # [M]
+        labels, best_root = self._relabel(
+            markers, p_opt["z"][best], p_opt["betas"][best], p_opt["trans"][best],
+            o_pose_body, root_orient0,
+        )
         marker_labels = jnp.broadcast_to(labels[None], (F, M))
 
         # confidence: 2nd-best / best score ratio (reference :612-617)
@@ -215,12 +239,12 @@ class PartFitter:
         )  # cluster mode fits all markers -> ratio 1 (subset == full)
 
         return PartFitResult(
-            params=SmplParams(o_pose_body, betas_s[best], roots_s[best], trans_s[best]),
+            params=SmplParams(o_pose_body, p_opt["betas"][best], best_root, p_opt["trans"][best]),
             marker_labels=marker_labels,
             marker_weights=weights_out,
             chain=np.asarray(subtrees[best % len(subtrees)], np.int32),
             distance=jnp.asarray(scores[best]),
             aabb_volume_ratio=aabb_ratio,
             subtree_losses=scores_s,
-            lbfgs_evals=int(np.sum(np.asarray(evals_s))),
+            lbfgs_evals=int(np.sum(np.asarray(res.num_evals))),
         )

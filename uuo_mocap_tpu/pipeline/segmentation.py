@@ -96,3 +96,89 @@ def labels_mode(marker_labels: np.ndarray) -> np.ndarray:
     from scipy import stats
 
     return stats.mode(marker_labels, axis=0, keepdims=False).mode
+
+
+def segment_markers_network(
+    points: np.ndarray,  # [F, M, 3]
+    freq: float,
+    checkpoint_root: str = "./checkpoints",
+    joints: np.ndarray | None = None,  # [F, 22, 3] HMR stream for the multimodal net
+) -> np.ndarray:
+    """Neural per-marker part labels via the (multimodal) segmenter
+    (reference ``segment_markers``, ``markers_utils.py:34-76``: window 32,
+    stride 4, softmax over parts).  Returns [F, M] argmax labels.
+
+    Loads flax checkpoints written by ``models/train.py``; raises a clear
+    error when none exist (the reference assumes pretrained ``.pth`` files
+    the same way).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from uuo_mocap_tpu.models.checkpoints import checkpoint_path, load_params
+    from uuo_mocap_tpu.models.marker_segmenter import MarkerSegmenter
+    from uuo_mocap_tpu.models.marker_segmenter_multimodal import MarkerSegmenterMultimodal
+
+    multimodal = joints is not None and os.path.exists(
+        checkpoint_path(checkpoint_root, "marker_segmenter_multimodal")
+    )
+    name = "marker_segmenter_multimodal" if multimodal else "marker_segmenter"
+    path = checkpoint_path(checkpoint_root, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no segmenter checkpoint at {path}; train one with "
+            f"uuo_mocap_tpu.models.train.train_marker_segmenter and save via "
+            f"models.checkpoints.save_params"
+        )
+
+    F, M, _ = points.shape
+    pts = jnp.asarray(np.nan_to_num(points, nan=0.0), jnp.float32)
+    if multimodal:
+        model = MarkerSegmenterMultimodal()
+        template = model.init(jax.random.PRNGKey(0), pts[None, :32], jnp.asarray(joints[None, :32], jnp.float32))
+        params = load_params(template, checkpoint_root, name)
+        probs = model.forward_sequence(params, pts, jnp.asarray(joints, jnp.float32), freq=freq)
+    else:
+        model = MarkerSegmenter()
+        template = model.init(jax.random.PRNGKey(0), pts[None, :32])
+        params = load_params(template, checkpoint_root, name)
+        probs = model.forward_sequence(params, pts, freq=freq)
+    return np.asarray(jnp.argmax(probs, axis=-1))
+
+
+def merge_symmetric_labels(labels_mode_arr: np.ndarray) -> np.ndarray:
+    """Merge right-side labels into left (multi-hypothesis testing resolves
+    the side later) — reference ``find_best_part_fits`` network mode
+    (``markers_utils.py:303-324``)."""
+    from uuo_mocap_tpu.body.joints import SMPL_JOINT_SYMMETRY
+
+    out = np.array(labels_mode_arr)
+    for left, right in SMPL_JOINT_SYMMETRY:
+        out[out == right] = left
+    return out
+
+
+def chains_from_labels(labels_merged: np.ndarray, parents: np.ndarray) -> List[List[int]]:
+    """Group present part labels into connected kinematic chains, then keep
+    the chain covering the most markers (reference ``markers_utils.py:326-367``).
+    Returns the list of chains sorted so the 'largest' chain is first.
+    """
+    present = sorted(set(int(l) for l in labels_merged))
+    chains: List[List[int]] = []
+    for j in sorted(present):
+        placed = False
+        for chain in chains:
+            if int(parents[j]) in chain:
+                chain.append(j)
+                placed = True
+                break
+        if not placed:
+            chains.append([j])
+
+    def chain_score(chain):
+        n_markers = sum(int((labels_merged == j).sum()) for j in chain)
+        return (len(chain), n_markers)
+
+    return sorted(chains, key=chain_score, reverse=True)

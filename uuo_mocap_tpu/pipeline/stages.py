@@ -3,13 +3,16 @@
 TPU-native re-design of the reference's ``optimization.py``:
 
   * ``optim_root``    (``optimization.py:21-144``)  -> ``root_stage``
-  * ``optim_chamfer`` (``optimization.py:147-285``) -> ``chamfer_stage``
-  * ``optim_markers`` (``optimization.py:288-399``) -> ``marker_stage``
+  * ``optim_chamfer`` (``optimization.py:147-285``) -> ``chamfer_stage_batched``
+  * ``optim_markers`` (``optimization.py:288-399``) -> ``marker_stage_batched``
   * ``compute_nearest_points`` (``optimization.py:402-642``) -> ``nearest_points``
 
 Differences by design (not omissions):
-  * each stage is ONE jitted XLA program (L-BFGS with strong Wolfe under
-    ``lax.while_loop``), no per-iteration host round-trips;
+  * every optimization runs through the segmented ``BatchedLbfgs`` driver:
+    all yaw hypotheses advance in lockstep on one device program, in bounded
+    iteration segments (no minutes-long single executions), with state held
+    on device between segments — the whole stage never syncs parameters to
+    host (SURVEY.md §7 hard part 1, §2.8);
   * rotations are optimized in the 6d parametrization directly instead of
     re-orthonormalizing raw 3x3s every closure (same manifold, fewer params);
   * ``compute_nearest_points``'s per-frame trimesh/igl host loop becomes the
@@ -17,10 +20,7 @@ Differences by design (not omissions):
     point-triangle kernels;
   * marker attachments are (vertex_ids[M,3], weights[M,3]) instead of a
     dense [M, 6890] one-hot — the reference's Sum(bc * vertices) contraction
-    (``optimization.py:345-351``) becomes three gathers;
-  * hypothesis batching: the builders expose ``*_vmapped`` variants that map
-    over a leading yaw-hypothesis axis (replaces the sequential angle loop,
-    SURVEY.md §2.8).
+    (``optimization.py:345-351``) becomes three gathers.
 """
 from __future__ import annotations
 
@@ -39,9 +39,12 @@ from uuo_mocap_tpu.ops.chamfer import (
     nearest_vertex,
 )
 from uuo_mocap_tpu.ops.point_mesh import point_mesh_distance
-from uuo_mocap_tpu.solver import LbfgsOptions, lbfgs_minimize
 from uuo_mocap_tpu.solver import losses as L
+from uuo_mocap_tpu.solver.lbfgs import BatchedLbfgs, LbfgsOptions
 from uuo_mocap_tpu.settings import MARKER_DISTANCE
+
+# iterations per device call — bounds single-execution wall time
+SEGMENT_SIZE = 50
 
 
 class SmplParams(NamedTuple):
@@ -69,11 +72,12 @@ class MarkerAttachment(NamedTuple):
         return oh.at[rows, self.vertex_ids].add(self.weights)
 
 
-def _stage_opts(config: Dict[str, Any], stage: str, lr_default: float = 1.0) -> LbfgsOptions:
+def _stage_opts(config: Dict[str, Any], stage: str, lr_default: float = 1.0,
+                lr_override: float | None = None) -> LbfgsOptions:
     scfg = config["stages"][stage]
     return LbfgsOptions(
         max_iter=int(scfg["num_iters"]),
-        lr=float(scfg.get("lr", lr_default)),
+        lr=lr_override if lr_override is not None else float(scfg.get("lr", lr_default)),
         tolerance_grad=float(config["optimizer"]["tolerance_grad"]),
         tolerance_change=float(config["optimizer"]["tolerance_change"]),
         history_size=int(config["optimizer"].get("history_size", 10)),
@@ -86,24 +90,33 @@ def _forward(model, params: SmplParams):
     return lbs_forward(model, params.pose_body, betas, params.root_orient, params.trans)
 
 
-class SolveStages:
-    """Builds jitted stage programs for a (model, config) pair.
+def virtual_markers_from_attachment(vertices: jnp.ndarray, attachment: MarkerAttachment) -> jnp.ndarray:
+    """[F, V, 3] + attachment -> [F, M, 3] virtual marker positions."""
+    return (
+        attachment.weights[None, :, 0:1] * vertices[:, attachment.vertex_ids[:, 0]]
+        + attachment.weights[None, :, 1:2] * vertices[:, attachment.vertex_ids[:, 1]]
+        + attachment.weights[None, :, 2:3] * vertices[:, attachment.vertex_ids[:, 2]]
+    )
 
-    Construction is cheap; compilation happens on first call per shape.
+
+class SolveStages:
+    """Builds the solve-stage programs for a (model, config) pair.
+
+    Construction is cheap; each stage's init/segment programs compile on
+    first use and persist for every subsequent sequence of the same shape.
     """
 
     def __init__(self, model: BodyModel, config: Dict[str, Any]):
         self.model = model
         self.config = config
         self.vertex_labels = jnp.argmax(model.lbs_weights, axis=-1)  # [V]
-        self.part_ids = jnp.arange(model.lbs_weights.shape[1])  # all 24; empty parts masked
+        self.part_ids = jnp.arange(model.lbs_weights.shape[1])
 
     # ------------------------------------------------------------------ root
     @functools.cached_property
-    def root_stage(self):
+    def _root_solver(self) -> BatchedLbfgs:
         cfg = self.config
         scfg = cfg["stages"]["root"]
-        opts = _stage_opts(cfg, "root")
         losses = scfg["losses"]
         model = self.model
         vertex_labels = self.vertex_labels
@@ -112,66 +125,69 @@ class SolveStages:
         constrained = bool(scfg.get("constrained_rotation", False))
         yaw_lock = bool(scfg.get("yaw_lock", True))
 
-        @jax.jit
-        def run(markers, marker_weights, o_pose_body, betas0, root_orient0, trans0,
-                marker_labels_mode, o_betas):
-            """Optimize {trans, yaw, betas}, pose fixed
-            (reference ``optim_root``, ``optimization.py:21-144``)."""
-            F = trans0.shape[0]
-
+        def apply_root(z, root_orient0):
+            F = root_orient0.shape[0]
             if constrained:
-                z0 = jnp.zeros((1, 1, 1))
-            elif yaw_lock:
-                z0 = jnp.zeros((F, 1, 1))
-            else:
-                z0 = rot.matrix_to_rotation_6d(jnp.broadcast_to(jnp.eye(3), (F, 1, 3, 3)))
+                return rot.rot_z(jnp.broadcast_to(z, (F, 1, 1))) @ root_orient0
+            if yaw_lock:
+                return rot.rot_z(z) @ root_orient0
+            return rot.rotation_6d_to_matrix(z)
 
-            params0 = {"trans": trans0, "z": z0, "betas": betas0}
+        self._root_apply = apply_root
 
-            def apply_root(z):
-                if constrained:
-                    return rot.rot_z(jnp.broadcast_to(z, (F, 1, 1))) @ root_orient0
-                if yaw_lock:
-                    return rot.rot_z(z) @ root_orient0
-                return rot.rotation_6d_to_matrix(z)
+        def fun(p, lane, shared):
+            root_orient0 = lane["root_orient0"]
+            z_root = apply_root(p["z"], root_orient0)
+            sp = SmplParams(shared["o_pose_body"], p["betas"], z_root, p["trans"])
+            out = _forward(model, sp)
+            total = 0.0
+            if "part_chamfer" in losses:
+                total += losses["part_chamfer"] * L.part_chamfer_loss(
+                    shared["markers"], out["vertices"], shared["marker_labels_mode"],
+                    vertex_labels, part_ids, single_dir,
+                )
+            if "full_chamfer" in losses:
+                total += losses["full_chamfer"] * L.full_chamfer_loss(
+                    shared["markers"], out["vertices"], shared["weights"], single_dir
+                )
+            if "root_orient_vel" in losses:
+                total += losses["root_orient_vel"] * L.root_orient_vel_loss(z_root, root_orient0)
+            if "trans_vel" in losses:
+                total += losses["trans_vel"] * L.trans_vel_loss(p["trans"], shared["markers"])
+            if "reg_betas" in losses:
+                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+            if "ground" in losses:
+                total += losses["ground"] * L.ground_loss_joints(out["joints"])
+            return total
 
-            def loss_fn(p):
-                z_root = apply_root(p["z"])
-                sp = SmplParams(o_pose_body, p["betas"], z_root, p["trans"])
-                out = _forward(model, sp)
-                total = 0.0
-                if "part_chamfer" in losses:
-                    total += losses["part_chamfer"] * L.part_chamfer_loss(
-                        markers, out["vertices"], marker_labels_mode, vertex_labels, part_ids, single_dir
-                    )
-                if "full_chamfer" in losses:
-                    total += losses["full_chamfer"] * L.full_chamfer_loss(
-                        markers, out["vertices"], marker_weights, single_dir
-                    )
-                if "root_orient_vel" in losses:
-                    total += losses["root_orient_vel"] * L.root_orient_vel_loss(z_root, root_orient0)
-                if "trans_vel" in losses:
-                    total += losses["trans_vel"] * L.trans_vel_loss(p["trans"], markers)
-                if "reg_betas" in losses:
-                    total += losses["reg_betas"] * L.mse(p["betas"], o_betas)
-                if "ground" in losses:
-                    total += losses["ground"] * L.ground_loss_joints(out["joints"])
-                return total
+        return BatchedLbfgs(fun, _stage_opts(cfg, "root"), segment_size=SEGMENT_SIZE)
 
-            p_opt, res = lbfgs_minimize(loss_fn, params0, opts)
-            return SmplParams(o_pose_body, p_opt["betas"], apply_root(p_opt["z"]), p_opt["trans"]), res
-
-        return run
+    def root_stage(self, markers, weights, o_pose_body, betas0, root_orient0, trans0,
+                   marker_labels_mode, o_betas):
+        """Optimize {trans, yaw, betas}, pose fixed (reference ``optim_root``)."""
+        F = trans0.shape[0]
+        scfg = self.config["stages"]["root"]
+        if scfg.get("constrained_rotation", False):
+            z0 = jnp.zeros((1, 1, 1))
+        elif scfg.get("yaw_lock", True):
+            z0 = jnp.zeros((F, 1, 1))
+        else:
+            z0 = rot.matrix_to_rotation_6d(jnp.broadcast_to(jnp.eye(3), (F, 1, 3, 3)))
+        params0 = {"trans": trans0[None], "z": z0[None], "betas": betas0[None]}
+        lane = {"root_orient0": root_orient0[None]}
+        shared = {
+            "markers": markers, "weights": weights, "o_pose_body": o_pose_body,
+            "o_betas": o_betas, "marker_labels_mode": marker_labels_mode,
+        }
+        p_opt, res = self._root_solver.run(params0, lane, shared)
+        z_root = self._root_apply(p_opt["z"][0], root_orient0)
+        return SmplParams(o_pose_body, p_opt["betas"][0], z_root, p_opt["trans"][0]), res
 
     # --------------------------------------------------------------- chamfer
     @functools.cached_property
-    def chamfer_stage(self):
+    def _chamfer_solver(self) -> BatchedLbfgs:
         cfg = self.config
         scfg = cfg["stages"]["chamfer"]
-        import dataclasses as _dc
-
-        # the reference hard-codes lr=0.1 for this stage (optimization.py:181)
-        opts = _dc.replace(_stage_opts(cfg, "chamfer"), lr=0.1)
         losses = scfg["losses"]
         model = self.model
         vertex_labels = self.vertex_labels
@@ -179,55 +195,74 @@ class SolveStages:
         single_dir = bool(scfg["single_directional"])
         yaw_lock = bool(scfg.get("yaw_lock", True))
 
-        @jax.jit
-        def run(markers, marker_weights, o_pose_body, o_betas, pose_body0, betas0,
-                root_orient0, trans0, marker_labels_mode):
-            """Optimize {trans, yaw, betas, pose}
-            (reference ``optim_chamfer``, ``optimization.py:147-285``)."""
-            F = trans0.shape[0]
-            pose6d0 = rot.matrix_to_rotation_6d(pose_body0)  # [F, 23, 6]
+        def apply_root(z, root_orient0):
             if yaw_lock:
-                z0 = jnp.zeros((F, 1, 1))
-            else:
-                z0 = rot.matrix_to_rotation_6d(jnp.broadcast_to(jnp.eye(3), (F, 1, 3, 3)))
-            params0 = {"trans": trans0, "z": z0, "betas": betas0, "pose6d": pose6d0}
+                return rot.rot_z(z) @ root_orient0
+            return rot.rotation_6d_to_matrix(z)
 
-            def apply_root(z):
-                if yaw_lock:
-                    return rot.rot_z(z) @ root_orient0
-                return rot.rotation_6d_to_matrix(z)
+        self._chamfer_apply = apply_root
 
-            def loss_fn(p):
-                z_root = apply_root(p["z"])
-                pose = rot.rotation_6d_to_matrix(p["pose6d"])
-                sp = SmplParams(pose, p["betas"], z_root, p["trans"])
-                out = _forward(model, sp)
-                total = 0.0
-                if "part_chamfer" in losses:
-                    total += losses["part_chamfer"] * L.part_chamfer_loss(
-                        markers, out["vertices"], marker_labels_mode, vertex_labels, part_ids, single_dir
-                    )
-                if "full_chamfer" in losses:
-                    total += losses["full_chamfer"] * L.full_chamfer_loss(
-                        markers, out["vertices"], marker_weights, single_dir
-                    )
-                if "root_orient_vel" in losses:
-                    total += losses["root_orient_vel"] * L.root_orient_vel_loss(z_root, root_orient0)
-                if "reg_pose_body" in losses:
-                    total += losses["reg_pose_body"] * L.mse(pose, o_pose_body)
-                if "trans_vel" in losses:
-                    total += losses["trans_vel"] * L.trans_vel_loss(p["trans"], markers)
-                if "ground" in losses:
-                    total += losses["ground"] * L.ground_loss_joints(out["joints"])
-                if "reg_betas" in losses:
-                    total += losses["reg_betas"] * L.mse(p["betas"], o_betas)
-                return total
+        def fun(p, lane, shared):
+            root_orient0 = lane["root_orient0"]
+            z_root = apply_root(p["z"], root_orient0)
+            pose = rot.rotation_6d_to_matrix(p["pose6d"])
+            sp = SmplParams(pose, p["betas"], z_root, p["trans"])
+            out = _forward(model, sp)
+            total = 0.0
+            if "part_chamfer" in losses:
+                total += losses["part_chamfer"] * L.part_chamfer_loss(
+                    shared["markers"], out["vertices"], shared["marker_labels_mode"],
+                    vertex_labels, part_ids, single_dir,
+                )
+            if "full_chamfer" in losses:
+                total += losses["full_chamfer"] * L.full_chamfer_loss(
+                    shared["markers"], out["vertices"], shared["weights"], single_dir
+                )
+            if "root_orient_vel" in losses:
+                total += losses["root_orient_vel"] * L.root_orient_vel_loss(z_root, root_orient0)
+            if "reg_pose_body" in losses:
+                total += losses["reg_pose_body"] * L.mse(pose, shared["o_pose_body"])
+            if "trans_vel" in losses:
+                total += losses["trans_vel"] * L.trans_vel_loss(p["trans"], shared["markers"])
+            if "ground" in losses:
+                total += losses["ground"] * L.ground_loss_joints(out["joints"])
+            if "reg_betas" in losses:
+                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+            return total
 
-            p_opt, res = lbfgs_minimize(loss_fn, params0, opts)
-            pose = rot.rotation_6d_to_matrix(p_opt["pose6d"])
-            return SmplParams(pose, p_opt["betas"], apply_root(p_opt["z"]), p_opt["trans"]), res
+        # the reference hard-codes lr=0.1 for this stage (optimization.py:181)
+        return BatchedLbfgs(fun, _stage_opts(cfg, "chamfer", lr_override=0.1), segment_size=SEGMENT_SIZE)
 
-        return run
+    def chamfer_stage_batched(self, markers, weights, o_pose_body, o_betas,
+                              pose0, betas0, root0_batch, trans0, marker_labels_mode):
+        """All A yaw hypotheses at once: optimize {trans, yaw, betas, pose}
+        per lane (reference ``optim_chamfer`` over its sequential angle loop).
+
+        root0_batch [A, F, 1, 3, 3]; pose0/betas0/trans0 shared seeds.
+        Returns (SmplParams with leading A axis, result)."""
+        A, F = root0_batch.shape[0], root0_batch.shape[1]
+        scfg = self.config["stages"]["chamfer"]
+        pose6d0 = rot.matrix_to_rotation_6d(pose0)
+        if scfg.get("yaw_lock", True):
+            z0 = jnp.zeros((F, 1, 1))
+        else:
+            z0 = rot.matrix_to_rotation_6d(jnp.broadcast_to(jnp.eye(3), (F, 1, 3, 3)))
+
+        def tile(x):
+            return jnp.broadcast_to(x[None], (A,) + x.shape)
+
+        params0 = {"trans": tile(trans0), "z": tile(z0), "betas": tile(betas0), "pose6d": tile(pose6d0)}
+        lane = {"root_orient0": root0_batch}
+        shared = {
+            "markers": markers, "weights": weights, "o_pose_body": o_pose_body,
+            "o_betas": o_betas, "marker_labels_mode": marker_labels_mode,
+        }
+        p_opt, res = self._chamfer_solver.run(params0, lane, shared)
+        post = jax.jit(jax.vmap(lambda p, r0: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            self._chamfer_apply(p["z"], r0), p["trans"],
+        )))
+        return post(p_opt, root0_batch), res
 
     # ----------------------------------------------------- nearest points
     @functools.cached_property
@@ -270,7 +305,6 @@ class SolveStages:
                     return carry, (pm["distance"], pm["face_index"], pm["barycentric"])
 
                 _, (dist, face_idx, bary) = jax.lax.scan(per_frame, None, (markers, vertices))
-                # dist [F, M], face_idx [F, M], bary [F, M, 3]
             else:
                 def per_frame(carry, inp):
                     m_f, v_f = inp
@@ -287,7 +321,7 @@ class SolveStages:
             if granularity == "marker":
                 best_f = jnp.argmin(dist_masked, axis=0)  # [M]
             else:  # "full" (and "part" approximated by full-frame choice)
-                best_f = jnp.argmin(jnp.mean(dist_masked, axis=1))  # scalar
+                best_f = jnp.argmin(jnp.mean(dist_masked, axis=1))
                 best_f = jnp.broadcast_to(best_f, (markers.shape[1],))
 
             m_idx = jnp.arange(markers.shape[1])
@@ -303,57 +337,131 @@ class SolveStages:
 
         return run
 
+    @functools.cached_property
+    def nearest_points_batched(self):
+        run = self.nearest_points
+        return jax.jit(jax.vmap(run, in_axes=(None, 0, None)))
+
     # ---------------------------------------------------------------- marker
     @functools.cached_property
-    def marker_stage(self):
+    def _marker_solver(self) -> BatchedLbfgs:
         cfg = self.config
-        opts = _stage_opts(cfg, "marker")
         losses = cfg["stages"]["marker"]["losses"]
         model = self.model
 
-        @jax.jit
-        def run(markers, marker_weights, o_pose_body, o_betas, pose_body0, betas0,
-                root_orient0, trans0, attachment: MarkerAttachment):
-            """Marker IK: optimize {pose, betas, root, trans} against virtual
-            markers (reference ``optim_markers``, ``optimization.py:288-399``)."""
-            pose6d0 = rot.matrix_to_rotation_6d(pose_body0)
-            root6d0 = rot.matrix_to_rotation_6d(root_orient0)
-            params0 = {"pose6d": pose6d0, "betas": betas0, "root6d": root6d0, "trans": trans0}
+        def fun(p, lane, shared):
+            attachment = MarkerAttachment(lane["att_ids"], lane["att_w"])
+            pose = rot.rotation_6d_to_matrix(p["pose6d"])
+            root = rot.rotation_6d_to_matrix(p["root6d"])
+            sp = SmplParams(pose, p["betas"], root, p["trans"])
+            out = _forward(model, sp)
+            virtual = virtual_markers_from_attachment(out["vertices"], attachment)
+            total = 0.0
+            if "marker" in losses:
+                total += losses["marker"] * L.marker_loss(shared["markers"], virtual, shared["weights"])
+            if "reg_pose_body" in losses:
+                total += losses["reg_pose_body"] * L.mse(pose, shared["o_pose_body"])
+            if "reg_betas" in losses:
+                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+            if "temporal" in losses:
+                total += losses["temporal"] * L.temporal_loss(pose)
+            return total
 
-            def loss_fn(p):
-                pose = rot.rotation_6d_to_matrix(p["pose6d"])
-                root = rot.rotation_6d_to_matrix(p["root6d"])
-                sp = SmplParams(pose, p["betas"], root, p["trans"])
-                out = _forward(model, sp)
-                verts = out["vertices"]  # [F, V, 3]
-                virtual = (
-                    attachment.weights[None, :, 0:1] * verts[:, attachment.vertex_ids[:, 0]]
-                    + attachment.weights[None, :, 1:2] * verts[:, attachment.vertex_ids[:, 1]]
-                    + attachment.weights[None, :, 2:3] * verts[:, attachment.vertex_ids[:, 2]]
-                )  # [F, M, 3]
-                total = 0.0
-                if "marker" in losses:
-                    total += losses["marker"] * L.marker_loss(markers, virtual, marker_weights)
-                if "reg_pose_body" in losses:
-                    total += losses["reg_pose_body"] * L.mse(pose, o_pose_body)
-                if "reg_betas" in losses:
-                    total += losses["reg_betas"] * L.mse(p["betas"], o_betas)
-                if "temporal" in losses:
-                    total += losses["temporal"] * L.temporal_loss(pose)
-                return total
+        return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE)
 
-            p_opt, res = lbfgs_minimize(loss_fn, params0, opts)
-            return (
-                SmplParams(
-                    rot.rotation_6d_to_matrix(p_opt["pose6d"]),
-                    p_opt["betas"],
-                    rot.rotation_6d_to_matrix(p_opt["root6d"]),
-                    p_opt["trans"],
-                ),
-                res,
+    @functools.cached_property
+    def _marker_solver_sdf(self) -> BatchedLbfgs:
+        """use_sdf variant: virtual marker POSITIONS are free parameters,
+        converted to soft vertex assignments by the learned SDF nets every
+        evaluation (reference ``optim_markers`` with ``use_sdf``,
+        ``optimization.py:307-351``)."""
+        cfg = self.config
+        losses = cfg["stages"]["marker"]["losses"]
+        model = self.model
+
+        from uuo_mocap_tpu.models.sdf import SDF
+
+        sdf = SDF(model, checkpoint_root=cfg.get("checkpoints_dir", "./checkpoints"))
+        self._sdf = sdf
+
+        def fun(p, lane, shared):
+            pose = rot.rotation_6d_to_matrix(p["pose6d"])
+            root = rot.rotation_6d_to_matrix(p["root6d"])
+            sp = SmplParams(pose, p["betas"], root, p["trans"])
+            out = _forward(model, sp)
+            bc = sdf.points_to_barycentric_one_hot(p["virtual_points"])  # [M, V]
+            virtual = jnp.einsum("mv,fvd->fmd", bc, out["vertices"])
+            total = 0.0
+            if "marker" in losses:
+                total += losses["marker"] * L.marker_loss(shared["markers"], virtual, shared["weights"])
+            if "reg_pose_body" in losses:
+                total += losses["reg_pose_body"] * L.mse(pose, shared["o_pose_body"])
+            if "reg_betas" in losses:
+                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+            return total
+
+        return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE)
+
+    def marker_stage_sdf(self, markers, weights, o_pose_body, o_betas,
+                         params_batch: SmplParams, attachments: MarkerAttachment):
+        """SDF-mode marker IK: seed virtual points from the attachments on
+        the template and co-optimize them with the body parameters."""
+        solver = self._marker_solver_sdf
+        sdf = self._sdf
+        A = params_batch.trans.shape[0]
+
+        def seed_points(att):
+            oh = MarkerAttachment(att.vertex_ids, att.weights).to_one_hot(self.model.num_vertices)
+            return sdf.barycentric_one_hot_to_points(oh)
+
+        virtual0 = jax.jit(jax.vmap(seed_points))(attachments)
+        to6d = jax.jit(jax.vmap(lambda sp: {
+            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
+            "betas": sp.betas,
+            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
+            "trans": sp.trans,
+        }))
+        params0 = dict(to6d(params_batch))
+        params0["virtual_points"] = virtual0
+        shared = {"markers": markers, "weights": weights,
+                  "o_pose_body": o_pose_body, "o_betas": o_betas}
+        lane = {"_": jnp.zeros((A, 1))}
+        p_opt, res = solver.run(params0, lane, shared)
+        post = jax.jit(jax.vmap(lambda p: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
+        )))
+        return post(p_opt), res
+
+    def marker_stage_batched(self, markers, weights, o_pose_body, o_betas,
+                             params_batch: SmplParams, attachments: MarkerAttachment):
+        """Marker IK for all A hypotheses: optimize {pose, betas, root, trans}
+        against per-lane virtual markers (reference ``optim_markers``).
+
+        Dispatches to the SDF variant when ``marker.use_sdf`` is set.
+        params_batch has leading A axis; attachments batched likewise."""
+        if self.config["stages"]["marker"].get("use_sdf"):
+            return self.marker_stage_sdf(
+                markers, weights, o_pose_body, o_betas, params_batch, attachments
             )
-
-        return run
+        to6d = jax.jit(jax.vmap(lambda sp: {
+            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
+            "betas": sp.betas,
+            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
+            "trans": sp.trans,
+        }))
+        params0 = to6d(params_batch)
+        lane = {"att_ids": attachments.vertex_ids, "att_w": attachments.weights}
+        shared = {
+            "markers": markers, "weights": weights,
+            "o_pose_body": o_pose_body, "o_betas": o_betas,
+        }
+        p_opt, res = self._marker_solver.run(params0, lane, shared)
+        post = jax.jit(jax.vmap(lambda p: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
+        )))
+        return post(p_opt), res
 
     # ------------------------------------------------------------ selection
     @functools.cached_property
@@ -368,6 +476,11 @@ class SolveStages:
             return masked_chamfer(markers, out["vertices"], marker_weights, single_directional=True)
 
         return run
+
+    @functools.cached_property
+    def score_chamfer_batched(self):
+        run = self.score_chamfer
+        return jax.jit(jax.vmap(run, in_axes=(None, None, 0)))
 
     def marker_labels_from_attachment(self, attachment: MarkerAttachment, num_frames: int) -> jnp.ndarray:
         """Part label per marker from its attachment vertex (reference

@@ -43,6 +43,10 @@ class LbfgsOptions:
     max_ls: int = 25
     c1: float = 1e-4
     c2: float = 0.9
+    # iterations per device call when driven by the segmented host loop
+    # (bounds single-execution wall time; some TPU transports kill
+    # minutes-long executions). None = single while_loop to completion.
+    segment_size: int | None = None
 
 
 class LbfgsResult(NamedTuple):
@@ -51,6 +55,22 @@ class LbfgsResult(NamedTuple):
     grad_norm: jnp.ndarray
     num_iters: jnp.ndarray
     num_evals: jnp.ndarray
+
+
+class LbfgsState(NamedTuple):
+    """Full optimizer state — lives on device across segment calls."""
+
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    f_prev: jnp.ndarray
+    S: jnp.ndarray  # [H, n]
+    Y: jnp.ndarray  # [H, n]
+    rho: jnp.ndarray  # [H]
+    hist: jnp.ndarray
+    n_iter: jnp.ndarray
+    n_evals: jnp.ndarray
+    done: jnp.ndarray
 
 
 def _cubic_interpolate(x1, f1, g1, x2, f2, g2, xmin, xmax):
@@ -68,7 +88,11 @@ def _cubic_interpolate(x1, f1, g1, x2, f2, g2, xmin, xmax):
 
 
 def _strong_wolfe(eval_fd, x, t, d, f, g, gtd, opts: LbfgsOptions):
-    """torch.optim.lbfgs._strong_wolfe.
+    """torch.optim.lbfgs._strong_wolfe, restructured as a single-eval-site
+    state machine: ONE ``eval_fd`` call per loop iteration serves both the
+    bracketing and zoom phases.  This matters for compile time — the naive
+    two-loop form inlines the full forward+backward graph three times and
+    XLA compile cost scales superlinearly with program size.
 
     ``eval_fd(t) -> (f_new, g_new)`` evaluates at x + t*d.
     Returns (f_new, g_new, t, n_evals).
@@ -76,173 +100,174 @@ def _strong_wolfe(eval_fd, x, t, d, f, g, gtd, opts: LbfgsOptions):
     c1, c2 = opts.c1, opts.c2
     tol = 1e-9  # torch hard-codes tolerance_change=1e-9 inside the line search
     d_norm = jnp.max(jnp.abs(d))
-
-    f_new, g_new = eval_fd(t)
-    gtd_new = jnp.dot(g_new, d)
-
-    # ---- bracketing phase ----
-    # carry: (t_prev, f_prev, g_prev, gtd_prev, t, f_new, g_new, gtd_new,
-    #         ls_iter, n_evals, done, found,
-    #         br_t[2], br_f[2], br_g[2, n], br_gtd[2])
-    def bracket_cond(c):
-        (*_, ls_iter, _n, done, found, _bt, _bf, _bg, _bgtd) = c
-        return (~done) & (~found) & (ls_iter < opts.max_ls)
-
-    def bracket_body(c):
-        (t_prev, f_prev, g_prev, gtd_prev, t, f_new, g_new, gtd_new,
-         ls_iter, n_evals, done, found, br_t, br_f, br_g, br_gtd) = c
-
-        armijo_fail = (f_new > f + c1 * t * gtd) | ((ls_iter > 1) & (f_new >= f_prev))
-        wolfe_ok = jnp.abs(gtd_new) <= -c2 * gtd
-        grad_pos = gtd_new >= 0
-
-        hit = armijo_fail | wolfe_ok | grad_pos
-        new_found = found | hit
-        new_done = done | (wolfe_ok & ~armijo_fail)
-
-        # bracket on armijo_fail / grad_pos: [t_prev, t]; on wolfe: [t, t]
-        sel_prev = armijo_fail | grad_pos
-        b_t = jnp.where(hit, jnp.where(sel_prev, jnp.stack([t_prev, t]), jnp.stack([t, t])), br_t)
-        b_f = jnp.where(hit, jnp.where(sel_prev, jnp.stack([f_prev, f_new]), jnp.stack([f_new, f_new])), br_f)
-        b_g = jnp.where(hit, jnp.where(sel_prev, jnp.stack([g_prev, g_new]), jnp.stack([g_new, g_new])), br_g)
-        b_gtd = jnp.where(
-            hit, jnp.where(sel_prev, jnp.stack([gtd_prev, gtd_new]), jnp.stack([gtd_new, gtd_new])), br_gtd
-        )
-
-        # interpolation step (only matters when not hit)
-        min_step = t + 0.01 * (t - t_prev)
-        max_step = t * 10.0
-        t_next = _cubic_interpolate(t_prev, f_prev, gtd_prev, t, f_new, gtd_new, min_step, max_step)
-
-        f_next, g_next = jax.lax.cond(hit, lambda: (f_new, g_new), lambda: eval_fd(t_next))
-        gtd_next = jnp.dot(g_next, d)
-
-        return (
-            jnp.where(hit, t_prev, t),
-            jnp.where(hit, f_prev, f_new),
-            jnp.where(hit, g_prev, g_new),
-            jnp.where(hit, gtd_prev, gtd_new),
-            jnp.where(hit, t, t_next),
-            jnp.where(hit, f_new, f_next),
-            jnp.where(hit, g_new, g_next),
-            jnp.where(hit, gtd_new, gtd_next),
-            ls_iter + jnp.where(hit, 0, 1),
-            n_evals + jnp.where(hit, 0, 1),
-            new_done,
-            new_found,
-            b_t, b_f, b_g, b_gtd,
-        )
-
     n = d.shape[0]
-    zero2 = jnp.zeros((2,), f.dtype)
-    zg2 = jnp.zeros((2, n), g.dtype)
-    init = (
-        jnp.zeros_like(t), f, g, gtd, t, f_new, g_new, gtd_new,
-        jnp.asarray(0), jnp.asarray(1), jnp.asarray(False), jnp.asarray(False),
-        zero2, zero2, zg2, zero2,
-    )
-    (t_prev, f_prev, g_prev, gtd_prev, t, f_new, g_new, gtd_new,
-     ls_iter, n_evals, done, found, br_t, br_f, br_g, br_gtd) = jax.lax.while_loop(
-        bracket_cond, bracket_body, init
-    )
+    dtype = f.dtype
 
-    # max_ls exhausted without bracket: [0, t]
-    no_bracket = ~found & ~done
-    br_t = jnp.where(no_bracket, jnp.stack([jnp.zeros_like(t), t]), br_t)
-    br_f = jnp.where(no_bracket, jnp.stack([f, f_new]), br_f)
-    br_g = jnp.where(no_bracket, jnp.stack([g, g_new]), br_g)
-    br_gtd = jnp.where(no_bracket, jnp.stack([gtd, gtd_new]), br_gtd)
+    BRACKET, ZOOM = 0, 1
 
-    # ---- zoom phase ----
+    # carry:
+    #   phase, done, ls_iter (torch's counter = evals after the first),
+    #   t_c (candidate evaluated at the top of each iteration),
+    #   t_p, f_p, g_p, gtd_p (bracket-phase previous point),
+    #   br_t[2], br_f[2], br_g[2, n], br_gtd[2], insuf
     def low_high(bf):
         low = jnp.where(bf[0] <= bf[1], 0, 1)
         return low, 1 - low
 
-    def zoom_cond(c):
-        (br_t, br_f, _bg, _bgtd, ls_iter, _n, done, _ip) = c
-        width_ok = jnp.abs(br_t[1] - br_t[0]) * d_norm >= tol
-        return (~done) & (ls_iter < opts.max_ls) & width_ok
+    def cond(c):
+        return (~c["done"]) & (c["ls_iter"] < opts.max_ls)
 
-    def zoom_body(c):
-        (br_t, br_f, br_g, br_gtd, ls_iter, n_evals, done, insuf) = c
-        t_z = _cubic_interpolate(br_t[0], br_f[0], br_gtd[0], br_t[1], br_f[1], br_gtd[1],
-                                 jnp.minimum(br_t[0], br_t[1]), jnp.maximum(br_t[0], br_t[1]))
+    def body(c):
+        t_c = c["t_c"]
+        f_c, g_c = eval_fd(t_c)  # the single evaluation site
+        gtd_c = jnp.dot(g_c, d)
+        in_bracket = c["phase"] == BRACKET
 
+        # ---------------- bracket-phase checks (torch loop top) ----------
+        armijo_fail = (f_c > f + c1 * t_c * gtd) | ((c["ls_iter"] > 1) & (f_c >= c["f_p"]))
+        wolfe_ok = jnp.abs(gtd_c) <= -c2 * gtd
+        grad_pos = gtd_c >= 0
+        hit = armijo_fail | wolfe_ok | grad_pos
+        wolfe_exit_b = in_bracket & wolfe_ok & ~armijo_fail
+        to_zoom = in_bracket & hit & ~wolfe_exit_b
+
+        sel_prev = armijo_fail | grad_pos
+        bt_new = jnp.where(sel_prev, jnp.stack([c["t_p"], t_c]), jnp.stack([t_c, t_c]))
+        bf_new = jnp.where(sel_prev, jnp.stack([c["f_p"], f_c]), jnp.stack([f_c, f_c]))
+        bg_new = jnp.where(sel_prev, jnp.stack([c["g_p"], g_c]), jnp.stack([g_c, g_c]))
+        bgtd_new = jnp.where(sel_prev, jnp.stack([c["gtd_p"], gtd_c]), jnp.stack([gtd_c, gtd_c]))
+        # wolfe exit: both bracket slots = the accepted point
+        bt_new = jnp.where(wolfe_exit_b, jnp.stack([t_c, t_c]), bt_new)
+        bf_new = jnp.where(wolfe_exit_b, jnp.stack([f_c, f_c]), bf_new)
+        bg_new = jnp.where(wolfe_exit_b, jnp.stack([g_c, g_c]), bg_new)
+        bgtd_new = jnp.where(wolfe_exit_b, jnp.stack([gtd_c, gtd_c]), bgtd_new)
+
+        # bracket-phase continuation: extrapolate the next candidate
+        min_step = t_c + 0.01 * (t_c - c["t_p"])
+        max_step = t_c * 10.0
+        t_next_b = _cubic_interpolate(c["t_p"], c["f_p"], c["gtd_p"], t_c, f_c, gtd_c, min_step, max_step)
+
+        # ---------------- zoom-phase update (torch zoom, post-eval) ------
+        low0, high0 = low_high(c["br_f"])
+        z_fail = (f_c > f + c1 * t_c * gtd) | (f_c >= c["br_f"][low0])
+        z_wolfe = jnp.abs(gtd_c) <= -c2 * gtd
+        flip = gtd_c * (c["br_t"][high0] - c["br_t"][low0]) >= 0
+
+        # fail: high <- t_c ; success: maybe high <- old low, then low <- t_c
+        def z_update(arr, val):
+            fail_arr = arr.at[high0].set(val)
+            succ_arr = jnp.where(flip, arr.at[high0].set(arr[low0]), arr)
+            succ_arr = succ_arr.at[low0].set(val)
+            return jnp.where(z_fail, fail_arr, succ_arr)
+
+        z_bt = z_update(c["br_t"], t_c)
+        z_bf = z_update(c["br_f"], f_c)
+        z_bg = z_update(c["br_g"], g_c)
+        z_bgtd = z_update(c["br_gtd"], gtd_c)
+        zoom_done = (~z_fail) & z_wolfe
+
+        # ---------------- merge phases ----------------------------------
+        # bracket continuation keeps [0, last evaluated t] so a max_ls
+        # exhaustion returns torch's [0, t] bracket
+        cont_bt = jnp.stack([jnp.zeros_like(t_c), t_c])
+        cont_bf = jnp.stack([f, f_c])
+        cont_bg = jnp.stack([g, g_c])
+        cont_bgtd = jnp.stack([gtd, gtd_c])
+        br_t = jnp.where(in_bracket, jnp.where(hit, bt_new, cont_bt), z_bt)
+        br_f = jnp.where(in_bracket, jnp.where(hit, bf_new, cont_bf), z_bf)
+        br_g = jnp.where(in_bracket, jnp.where(hit, bg_new, cont_bg), z_bg)
+        br_gtd = jnp.where(in_bracket, jnp.where(hit, bgtd_new, cont_bgtd), z_bgtd)
+
+        entering_zoom = to_zoom | (~in_bracket)
+        phase = jnp.where(in_bracket & ~hit, BRACKET, ZOOM)
+        done = c["done"] | wolfe_exit_b | ((~in_bracket) & zoom_done)
+
+        # next zoom candidate from the (updated) bracket + safeguards
+        t_z = _cubic_interpolate(
+            br_t[0], br_f[0], br_gtd[0], br_t[1], br_f[1], br_gtd[1],
+            jnp.minimum(br_t[0], br_t[1]), jnp.maximum(br_t[0], br_t[1]),
+        )
         bmax = jnp.maximum(br_t[0], br_t[1])
         bmin = jnp.minimum(br_t[0], br_t[1])
         eps = 0.1 * (bmax - bmin)
         close_to_edge = jnp.minimum(bmax - t_z, t_z - bmin) < eps
-        force = insuf | (t_z >= bmax) | (t_z <= bmin)
+        force = c["insuf"] | (t_z >= bmax) | (t_z <= bmin)
         t_forced = jnp.where(jnp.abs(t_z - bmax) < jnp.abs(t_z - bmin), bmax - eps, bmin + eps)
-        t_z = jnp.where(close_to_edge & force, t_forced, t_z)
-        new_insuf = close_to_edge & ~force
+        t_z_final = jnp.where(close_to_edge & force, t_forced, t_z)
+        insuf = jnp.where(entering_zoom, close_to_edge & ~force, c["insuf"])
 
-        f_z, g_z = eval_fd(t_z)
-        gtd_z = jnp.dot(g_z, d)
+        # zoom width termination (torch zoom-loop top check)
+        width_done = entering_zoom & (jnp.abs(br_t[1] - br_t[0]) * d_norm < tol)
+        done = done | width_done
 
-        low, high = low_high(br_f)
-        fail = (f_z > f + c1 * t_z * gtd) | (f_z >= br_f[low])
+        t_next = jnp.where(entering_zoom, t_z_final, t_next_b)
 
-        # case fail: replace high with t_z
-        br_t_f = br_t.at[high].set(t_z)
-        br_f_f = br_f.at[high].set(f_z)
-        br_g_f = br_g.at[high].set(g_z)
-        br_gtd_f = br_gtd.at[high].set(gtd_z)
+        return {
+            "phase": phase,
+            "done": done,
+            "ls_iter": c["ls_iter"] + 1,
+            "t_c": t_next,
+            "t_p": jnp.where(in_bracket & ~hit, t_c, c["t_p"]),
+            "f_p": jnp.where(in_bracket & ~hit, f_c, c["f_p"]),
+            "g_p": jnp.where(in_bracket & ~hit, g_c, c["g_p"]),
+            "gtd_p": jnp.where(in_bracket & ~hit, gtd_c, c["gtd_p"]),
+            "br_t": br_t,
+            "br_f": br_f,
+            "br_g": br_g,
+            "br_gtd": br_gtd,
+            "insuf": insuf,
+        }
 
-        # case success:
-        wolfe_ok = jnp.abs(gtd_z) <= -c2 * gtd
-        flip = gtd_z * (br_t[high] - br_t[low]) >= 0  # move high to old low
-        br_t_s = jnp.where(flip, br_t.at[high].set(br_t[low]), br_t)
-        br_f_s = jnp.where(flip, br_f.at[high].set(br_f[low]), br_f)
-        br_g_s = jnp.where(flip, br_g.at[high].set(br_g[low]), br_g)
-        br_gtd_s = jnp.where(flip, br_gtd.at[high].set(br_gtd[low]), br_gtd)
-        br_t_s = br_t_s.at[low].set(t_z)
-        br_f_s = br_f_s.at[low].set(f_z)
-        br_g_s = br_g_s.at[low].set(g_z)
-        br_gtd_s = br_gtd_s.at[low].set(gtd_z)
+    init = {
+        "phase": jnp.asarray(BRACKET),
+        "done": jnp.asarray(False),
+        "ls_iter": jnp.asarray(0),
+        "t_c": t,
+        "t_p": jnp.zeros_like(t),
+        "f_p": f,
+        "g_p": g,
+        "gtd_p": gtd,
+        # pre-seed the bracket with [0, t0-ish]; only read once in zoom after
+        # a max_ls bracket exhaustion (torch uses [0, last_t] there too)
+        "br_t": jnp.stack([jnp.zeros_like(t), t]),
+        "br_f": jnp.stack([f, f]),
+        "br_g": jnp.stack([g, g]),
+        "br_gtd": jnp.stack([gtd, gtd]),
+        "insuf": jnp.asarray(False),
+    }
+    out = jax.lax.while_loop(cond, body, init)
 
-        return (
-            jnp.where(fail, br_t_f, br_t_s),
-            jnp.where(fail, br_f_f, br_f_s),
-            jnp.where(fail, br_g_f, br_g_s),
-            jnp.where(fail, br_gtd_f, br_gtd_s),
-            ls_iter + 1,
-            n_evals + 1,
-            done | (~fail & wolfe_ok),
-            new_insuf,
-        )
-
-    (br_t, br_f, br_g, br_gtd, ls_iter, n_evals, done, _ip) = jax.lax.while_loop(
-        zoom_cond, zoom_body, (br_t, br_f, br_g, br_gtd, ls_iter, n_evals, done, jnp.asarray(False))
-    )
-
-    low, _ = low_high(br_f)
-    return br_f[low], br_g[low], br_t[low], n_evals
+    low, _ = low_high(out["br_f"])
+    n_evals = 1 + out["ls_iter"]  # approximate torch's ls_func_evals accounting
+    return out["br_f"][low], out["br_g"][low], out["br_t"][low], n_evals
 
 
-def lbfgs_minimize_flat(
-    fun: Callable[[jnp.ndarray], jnp.ndarray],
-    x0: jnp.ndarray,
-    opts: LbfgsOptions,
-) -> LbfgsResult:
-    """Minimize ``fun`` (flat-vector -> scalar) from ``x0``."""
-    value_and_grad = jax.value_and_grad(fun)
+def lbfgs_init(fun: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray, opts: LbfgsOptions) -> LbfgsState:
+    """Evaluate f/g at x0 and build the initial optimizer state."""
+    f0, g0 = jax.value_and_grad(fun)(x0)
     n = x0.shape[0]
     H = opts.history_size
     dtype = x0.dtype
+    return LbfgsState(
+        x=x0, f=f0, g=g0, f_prev=f0 + 1.0,
+        S=jnp.zeros((H, n), dtype), Y=jnp.zeros((H, n), dtype), rho=jnp.zeros((H,), dtype),
+        hist=jnp.asarray(0), n_iter=jnp.asarray(0), n_evals=jnp.asarray(1),
+        done=jnp.max(jnp.abs(g0)) <= opts.tolerance_grad,
+    )
 
-    f0, g0 = value_and_grad(x0)
+
+def make_lbfgs_step(fun: Callable[[jnp.ndarray], jnp.ndarray], opts: LbfgsOptions):
+    """One full L-BFGS iteration (direction + strong-Wolfe line search +
+    history/convergence update): ``step(state) -> state``."""
+    value_and_grad = jax.value_and_grad(fun)
+    H = opts.history_size
 
     def eval_at(x):
         return value_and_grad(x)
 
-    # carry: x, f, g, f_prev, S[H,n], Y[H,n], rho[H], hist_count,
-    #        n_iter, n_evals, done
-    def cond(c):
-        return (~c[-1]) & (c[-3] < opts.max_iter)
-
-    def body(c):
-        (x, f, g, f_prev, S, Y, rho, hist, n_iter, n_evals, _done) = c
+    def body(state: LbfgsState) -> LbfgsState:
+        (x, f, g, f_prev, S, Y, rho, hist, n_iter, n_evals, _done) = state
+        dtype = x.dtype
 
         # ---- direction: two-loop recursion ----
         num = jnp.minimum(hist, H)
@@ -328,18 +353,62 @@ def lbfgs_minimize_flat(
         f_out = jnp.where(dd_break, f, f_new)
         g_out = jnp.where(dd_break, g, g_new)
 
-        return (x_out, f_out, g_out, f, S_new, Y_new, rho_new, hist_new,
-                n_iter + 1, n_evals + evals, done)
+        return LbfgsState(
+            x=x_out, f=f_out, g=g_out, f_prev=f, S=S_new, Y=Y_new, rho=rho_new,
+            hist=hist_new, n_iter=n_iter + 1, n_evals=n_evals + evals, done=done,
+        )
 
-    S0 = jnp.zeros((H, n), dtype)
-    Y0 = jnp.zeros((H, n), dtype)
-    rho0 = jnp.zeros((H,), dtype)
-    grad_already_small = jnp.max(jnp.abs(g0)) <= opts.tolerance_grad
-    init = (x0, f0, g0, f0 + 1.0, S0, Y0, rho0, jnp.asarray(0),
-            jnp.asarray(0), jnp.asarray(1), grad_already_small)
+    return body
 
-    (x, f, g, _fp, _S, _Y, _rho, _h, n_iter, n_evals, _done) = jax.lax.while_loop(cond, body, init)
-    return LbfgsResult(x=x, f=f, grad_norm=jnp.max(jnp.abs(g)), num_iters=n_iter, num_evals=n_evals)
+
+def run_lbfgs_segment(fun, state: LbfgsState, opts: LbfgsOptions, num_iters: int) -> LbfgsState:
+    """Advance the optimizer by up to ``num_iters`` iterations (or until
+    done / max_iter) as one bounded device program.  vmap-compatible."""
+    step = make_lbfgs_step(fun, opts)
+
+    def cond(c):
+        s, k = c
+        return (~s.done) & (s.n_iter < opts.max_iter) & (k < num_iters)
+
+    def body(c):
+        s, k = c
+        return step(s), k + 1
+
+    out, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+    return out
+
+
+def _result(state: LbfgsState) -> LbfgsResult:
+    return LbfgsResult(
+        x=state.x, f=state.f, grad_norm=jnp.max(jnp.abs(state.g)),
+        num_iters=state.n_iter, num_evals=state.n_evals,
+    )
+
+
+def lbfgs_minimize_flat(
+    fun: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    opts: LbfgsOptions,
+) -> LbfgsResult:
+    """Minimize ``fun`` (flat-vector -> scalar) from ``x0``.
+
+    ``opts.segment_size`` None: one ``lax.while_loop`` to completion (use
+    inside larger jitted programs).  Set: a host loop re-invokes a bounded
+    segment program, keeping state on device between calls — robust against
+    transports that kill long single executions, identical semantics.
+    """
+    state = lbfgs_init(fun, x0, opts)
+    if opts.segment_size is None:
+        return _result(run_lbfgs_segment(fun, state, opts, opts.max_iter))
+
+    segment = jax.jit(lambda s: run_lbfgs_segment(fun, s, opts, opts.segment_size))
+    import numpy as _np
+
+    while True:
+        state = segment(state)
+        if bool(_np.asarray(state.done)) or int(state.n_iter) >= opts.max_iter:
+            break
+    return _result(state)
 
 
 def lbfgs_minimize(fun, params0, opts: LbfgsOptions) -> Tuple[object, LbfgsResult]:
@@ -352,3 +421,106 @@ def lbfgs_minimize(fun, params0, opts: LbfgsOptions) -> Tuple[object, LbfgsResul
 
     res = lbfgs_minimize_flat(flat_fun, x0, opts)
     return unravel(res.x), res
+
+
+class BatchedLbfgs:
+    """Segmented, batched L-BFGS driver with persistent compiled programs.
+
+    ``fun(params, lane_arg, shared) -> scalar`` is minimized independently
+    for every lane of a leading batch axis (lane_args batched, shared
+    broadcast).  Lanes advance in lockstep segments of ``segment_size``
+    iterations per device call; the host loop stops when every lane
+    converges or hits max_iter — so no single device execution runs longer
+    than one segment (some TPU transports kill minutes-long executions).
+    ``lane_chunk`` groups lanes through ``lax.map`` to bound memory (the
+    part-fit pattern).
+
+    This is the TPU-native replacement for the reference's sequential
+    per-hypothesis / per-subtree optimizer loops; build ONCE per stage so
+    the init/segment programs stay in the jit cache across sequences.
+    """
+
+    def __init__(self, fun, opts: LbfgsOptions, segment_size: int = 100,
+                 lane_chunk: int | None = None):
+        self.fun = fun
+        self.opts = opts
+        self.segment_size = segment_size
+        self.lane_chunk = lane_chunk
+        self._built = {}  # shape-signature -> (init_fn, seg_fn, unravel)
+
+    def _build(self, params_single):
+        _, unravel = ravel_pytree(params_single)
+        opts = self.opts
+        fun = self.fun
+
+        def flat_fun(x, lane_arg, shared):
+            return fun(unravel(x), lane_arg, shared)
+
+        def init_one(params, lane_arg, shared):
+            x0, _ = ravel_pytree(params)
+            return lbfgs_init(lambda x: flat_fun(x, lane_arg, shared), x0, opts)
+
+        def seg_one(state, lane_arg, shared):
+            return run_lbfgs_segment(
+                lambda x: flat_fun(x, lane_arg, shared), state, opts, self.segment_size
+            )
+
+        vmap_init = jax.vmap(init_one, in_axes=(0, 0, None))
+        vmap_seg = jax.vmap(seg_one, in_axes=(0, 0, None))
+
+        if self.lane_chunk is None:
+            return jax.jit(vmap_init), jax.jit(vmap_seg), unravel
+        else:
+            C = self.lane_chunk
+
+            def grouped(fn):
+                def run(tree, lane_args, shared):
+                    L = jax.tree_util.tree_leaves(tree)[0].shape[0]
+                    G = L // C
+
+                    def g(t):
+                        return jax.tree_util.tree_map(lambda a: a.reshape((G, C) + a.shape[1:]), t)
+
+                    out = jax.lax.map(lambda args: fn(*args, shared), (g(tree), g(lane_args)))
+                    return jax.tree_util.tree_map(lambda a: a.reshape((L,) + a.shape[2:]), out)
+
+                return run
+
+            return jax.jit(grouped(vmap_init)), jax.jit(grouped(vmap_seg)), unravel
+
+    def run(self, params0_batch, lane_args, shared) -> Tuple[object, LbfgsResult]:
+        import numpy as _np
+
+        key = tuple(
+            (str(p), a.shape, str(a.dtype))
+            for p, a in jax.tree_util.tree_flatten_with_path(params0_batch)[0]
+        )
+        if key not in self._built:
+            self._built[key] = self._build(jax.tree_util.tree_map(lambda a: a[0], params0_batch))
+        init_fn, seg_fn, unravel = self._built[key]
+        if self.lane_chunk is not None:
+            L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
+            if L % self.lane_chunk != 0:
+                raise ValueError(f"lanes {L} not a multiple of lane_chunk {self.lane_chunk}")
+
+        import os as _os
+        import time as _time
+
+        debug = _os.environ.get("UUO_DEBUG_LBFGS")
+        state = init_fn(params0_batch, lane_args, shared)
+        while True:
+            t0 = _time.time()
+            state = seg_fn(state, lane_args, shared)
+            done = _np.asarray(state.done)
+            iters = _np.asarray(state.n_iter)
+            finished = done | (iters >= self.opts.max_iter)  # per-lane OR!
+            if debug:
+                print(
+                    f"[lbfgs] segment {_time.time() - t0:.1f}s  iters {iters.min()}-{iters.max()}"
+                    f"  finished {int(finished.sum())}/{finished.size}", flush=True,
+                )
+            if finished.all():
+                break
+
+        params_out = jax.vmap(unravel)(state.x)
+        return params_out, _result(state)
