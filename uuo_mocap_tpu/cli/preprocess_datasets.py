@@ -149,6 +149,46 @@ def run_dataset(
     return count
 
 
+def convert_bmlmovi_mat(mat_path: str, out_c3d: str, rate: float = 120.0) -> str:
+    """BMLmovi .mat mocap -> c3d (reference ``preprocess_bmlmovi.py:50-60``):
+    finds the 3D marker array inside the Matlab struct (``move`` /
+    ``markerLocation`` layouts) and writes our c3d."""
+    from scipy.io import loadmat
+
+    from uuo_mocap_tpu.data.c3d import write_c3d
+
+    data = loadmat(mat_path, squeeze_me=True, struct_as_record=False)
+
+    def find_markers(obj, depth=0):
+        if depth > 6 or obj is None:
+            return None
+        arr = np.asarray(obj) if not hasattr(obj, "_fieldnames") else None
+        if arr is not None and arr.ndim == 3 and 3 in arr.shape:
+            return arr
+        if hasattr(obj, "_fieldnames"):
+            for name in obj._fieldnames:
+                found = find_markers(getattr(obj, name), depth + 1)
+                if found is not None:
+                    return found
+        return None
+
+    markers = None
+    for key, value in data.items():
+        if key.startswith("__"):
+            continue
+        markers = find_markers(value)
+        if markers is not None:
+            break
+    if markers is None:
+        raise ValueError(f"no [F, M, 3] marker array found in {mat_path}")
+    # normalize axis order to [F, M, 3]
+    if markers.shape[0] == 3:
+        markers = np.moveaxis(markers, 0, -1)
+    if markers.shape[1] == 3 and markers.shape[2] != 3:
+        markers = np.swapaxes(markers, 1, 2)
+    return write_c3d(out_c3d, np.asarray(markers, np.float32), rate=rate, units="mm")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("kind", choices=list(DATASET_DEFAULTS))

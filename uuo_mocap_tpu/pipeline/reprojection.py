@@ -157,7 +157,7 @@ class ReprojectionStage:
                 "metrics": {"chamfer": cham_err, "reproject": reproj_err},
             }
 
-        return jax.jit(jax.vmap(run_single, in_axes=(0,) + (None,) * 11))
+        return jax.jit(jax.vmap(run_single, in_axes=(0,) + (None,) * 12))
 
     def __call__(self, angles, markers, marker_weights, o_pose_body, betas0, hmr_betas,
                  hmr_root_orient, trans0, pred_cam, cam_center, cam_size, cam_scale, img_mask):
