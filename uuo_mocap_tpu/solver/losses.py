@@ -111,3 +111,26 @@ def temporal_loss(pose_body):
 def weighted_mse(input, target, weights):
     """(reference ``optimization.py:718-724``)."""
     return jnp.mean(((input - target) ** 2) * weights)
+
+
+def soft_cross_entropy(logits, target_probs):
+    """KL-divergence against soft targets (reference ``SoftCrossEntropyLoss``,
+    ``losses/losses.py:6-12``): batchmean KLDiv(log_softmax(logits), target)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per = jnp.where(target_probs > 0, target_probs * (jnp.log(jnp.maximum(target_probs, 1e-12)) - logp), 0.0)
+    return jnp.sum(per) / logits.shape[0]
+
+
+def line_segment_loss(points, markers, reduction: str = "mean"):
+    """Distance of markers to the infinite line through a segment
+    (reference ``LineSegmentLoss``, ``losses/losses.py:15-40``).
+
+    points [F, 2, 3] segment endpoints, markers [F, M, 3].
+    """
+    line = points[:, 0:1] - points[:, 1:2]  # [F, 1, 3]
+    line_m = markers - points[:, 1:2]  # [F, M, 3]
+    norm_line = jnp.linalg.norm(line, axis=-1)  # [F, 1]
+    cross = jnp.cross(jnp.broadcast_to(line, line_m.shape), line_m)
+    norm_cross = jnp.linalg.norm(cross, axis=-1)  # [F, M]
+    vals = norm_cross / jnp.maximum(norm_line, 1e-12)
+    return jnp.mean(vals) if reduction == "mean" else jnp.sum(vals)
