@@ -106,6 +106,11 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "detail": {
+                    "solve_time_s": round(dt, 1),
+                    "lbfgs_evals": result.get("lbfgs_evals"),
+                    "stage_times_s": result.get("stage_times_s"),
+                },
             }
         )
     )

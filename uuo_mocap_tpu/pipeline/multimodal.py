@@ -105,6 +105,17 @@ def multimodal_video_mocap(
 
     stages = SolveStages(model, config)
     part_fitter = PartFitter(model, config)
+    stage_times: Dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                stage_times[name] = stage_times.get(name, 0.0) + time.time() - self.t0
+
+        return _T()
 
     mocap_freq = float(mocap_markers.get_frequency())
 
@@ -178,7 +189,8 @@ def multimodal_video_mocap(
         fit_marker_mask = np.isin(merged, largest).astype(np.float32)  # [M]
         groups = [list(np.where(merged == j)[0]) for j in largest]
     else:
-        groups = segment_rigid(markers_np)
+        with timed("segment_rigid"):
+            groups = segment_rigid(markers_np)
         marker_labels = np.zeros(markers_np.shape[:2], np.int64)
         for gi, group in enumerate(groups):
             marker_labels[:, group] = gi
@@ -243,7 +255,8 @@ def multimodal_video_mocap(
         fit_weights = jnp.ones_like(weights)  # reference part chamfer is unweighted
         if fit_marker_mask is not None:  # network mode: only the chain's markers
             fit_weights = fit_weights * jnp.asarray(fit_marker_mask)[None, :]
-        part_result = part_fitter(
+        with timed("part_fit"):
+            part_result = part_fitter(
             markers=markers,
             marker_weights=fit_weights,
             o_pose_body=o_pose_body_j,
@@ -339,7 +352,8 @@ def multimodal_video_mocap(
     root0_batch = seed_roots(angles)  # [A, F, 1, 3, 3]
 
     if do_chamfer:
-        chamfer_all, res_c = stages.chamfer_stage_batched(
+        with timed("chamfer"):
+            chamfer_all, res_c = stages.chamfer_stage_batched(
             markers, weights, o_pose_body_j, o_betas_j,
             o_pose_body_j, betas, root0_batch, trans, marker_labels_mode_j,
         )
@@ -349,8 +363,11 @@ def multimodal_video_mocap(
         chamfer_all = SmplParams(tile(o_pose_body_j), tile(betas), root0_batch, tile(trans))
 
     if do_marker:
-        attach_all = stages.nearest_points_batched(markers, chamfer_all, img_mask)
-        marker_all, res_m = stages.marker_stage_batched(
+        with timed("nearest"):
+            attach_all = stages.nearest_points_batched(markers, chamfer_all, img_mask)
+            jax.block_until_ready(attach_all.vertex_ids)
+        with timed("marker"):
+            marker_all, res_m = stages.marker_stage_batched(
             markers, weights, o_pose_body_j, o_betas_j, chamfer_all, attach_all,
         )
         total_evals += int(np.sum(np.asarray(res_m.num_evals)))
@@ -375,7 +392,9 @@ def multimodal_video_mocap(
     if do_marker:
         for rep in range(int(config["stage_repeats"])):
             log(f"Stage [marker_final]: refinement {rep + 1}/{config['stage_repeats']}...")
-            attachment = stages.nearest_points(markers, params, img_mask)
+            with timed("nearest_final"):
+                attachment = stages.nearest_points(markers, params, img_mask)
+                jax.block_until_ready(attachment.vertex_ids)
             if config.get("recompute_marker_labels"):
                 labels = stages.marker_labels_from_attachment(attachment, F)
                 marker_labels = np.asarray(labels)
@@ -383,7 +402,8 @@ def multimodal_video_mocap(
                     from uuo_mocap_tpu.pipeline.segmentation import filter_rigid
 
                     marker_labels = filter_rigid(markers_np, marker_labels)
-            params_b, res_f = stages.marker_stage_batched(
+            with timed("marker_final"):
+                params_b, res_f = stages.marker_stage_batched(
                 markers, weights, params.pose_body, o_betas_j,
                 jax.tree_util.tree_map(lambda x: x[None], params),
                 jax.tree_util.tree_map(lambda x: x[None], attachment),
@@ -408,4 +428,7 @@ def multimodal_video_mocap(
         output["chain"] = chain
     output["solve_time_s"] = time.time() - t_start
     output["lbfgs_evals"] = total_evals
+    output["stage_times_s"] = {k: round(v, 2) for k, v in stage_times.items()}
+    if progress:
+        log(f"  stage times: {output['stage_times_s']}")
     return output
