@@ -363,8 +363,11 @@ def multimodal_video_mocap(
         chamfer_all = SmplParams(tile(o_pose_body_j), tile(betas), root0_batch, tile(trans))
 
     if do_marker:
+        nearest_labels = (
+            marker_labels_mode_j if config["stages"]["segment"]["granularity"] == "part" else None
+        )
         with timed("nearest"):
-            attach_all = stages.nearest_points_batched(markers, chamfer_all, img_mask)
+            attach_all = stages.nearest_points_batched(markers, chamfer_all, img_mask, nearest_labels)
             jax.block_until_ready(attach_all.vertex_ids)
         with timed("marker"):
             marker_all, res_m = stages.marker_stage_batched(
@@ -393,7 +396,7 @@ def multimodal_video_mocap(
         for rep in range(int(config["stage_repeats"])):
             log(f"Stage [marker_final]: refinement {rep + 1}/{config['stage_repeats']}...")
             with timed("nearest_final"):
-                attachment = stages.nearest_points(markers, params, img_mask)
+                attachment = stages.nearest_points(markers, params, img_mask, nearest_labels)
                 jax.block_until_ready(attachment.vertex_ids)
             if config.get("recompute_marker_labels"):
                 labels = stages.marker_labels_from_attachment(attachment, F)

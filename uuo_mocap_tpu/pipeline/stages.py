@@ -274,15 +274,29 @@ class SolveStages:
         granularity = cfg["stages"]["segment"]["granularity"]
         model = self.model
 
+        num_parts = int(self.model.lbs_weights.shape[1])
+
+        def masked_median(values, mask):
+            """Median of ``values`` where mask>0 (masked entries pushed to
+            +inf and the median index halved accordingly)."""
+            big = jnp.asarray(1e10, values.dtype)
+            n = jnp.sum(mask > 0)
+            sorted_vals = jnp.sort(jnp.where(mask > 0, values, big))
+            mid_hi = jnp.maximum((n - 1) // 2 + (n - 1) % 2, 0)
+            mid_lo = jnp.maximum((n - 1) // 2, 0)
+            return 0.5 * (sorted_vals[mid_lo] + sorted_vals[mid_hi])
+
         @jax.jit
-        def run(markers, params: SmplParams, img_mask):
+        def run(markers, params: SmplParams, img_mask, marker_labels_mode=None):
             """Marker->surface correspondence (reference
             ``compute_nearest_points``, ``optimization.py:402-642``).
 
             Default config path (use_mean): argmin vertex of the
             frame-averaged [M, V] distance matrix over img_mask frames.
             Barycentric path: closest surface point per frame, best frame
-            selected per granularity.
+            selected per granularity (full: frame with min mean distance;
+            marker: per-marker best frame; part: per-part best frame by
+            median marker distance, reference ``optimization.py:571-578``).
             """
             F = params.trans.shape[0]
             mean_betas = jnp.mean(jnp.broadcast_to(params.betas, (F, 10)), axis=0, keepdims=True)
@@ -320,7 +334,18 @@ class SolveStages:
 
             if granularity == "marker":
                 best_f = jnp.argmin(dist_masked, axis=0)  # [M]
-            else:  # "full" (and "part" approximated by full-frame choice)
+            elif granularity == "part" and marker_labels_mode is not None:
+                # per part: best frame by the median distance of the part's
+                # markers in that frame; markers inherit their part's frame
+                def per_part(pid):
+                    pmask = (marker_labels_mode == pid).astype(dist.dtype)  # [M]
+                    med = jax.vmap(lambda d: masked_median(d, pmask))(dist_masked)  # [F]
+                    has = jnp.sum(pmask) > 0
+                    return jnp.where(has, jnp.argmin(med), 0)
+
+                part_best = jax.vmap(per_part)(jnp.arange(num_parts))  # [P]
+                best_f = part_best[jnp.clip(marker_labels_mode, 0, num_parts - 1)]
+            else:  # "full"
                 best_f = jnp.argmin(jnp.mean(dist_masked, axis=1))
                 best_f = jnp.broadcast_to(best_f, (markers.shape[1],))
 
@@ -340,7 +365,7 @@ class SolveStages:
     @functools.cached_property
     def nearest_points_batched(self):
         run = self.nearest_points
-        return jax.jit(jax.vmap(run, in_axes=(None, 0, None)))
+        return jax.jit(jax.vmap(lambda m, p, im, lbl: run(m, p, im, lbl), in_axes=(None, 0, None, None)))
 
     # ---------------------------------------------------------------- marker
     @functools.cached_property
