@@ -46,8 +46,11 @@ def solve_once(model, cfg, seed):
     prior = perturb_params(gt, seed=seed + 2, pose_noise=0.05, trans_noise=0.08, betas_noise=0.2)
 
     t0 = time.time()
+    # frame_bucket=None: the bench measures the exact canonical 450-frame
+    # shape; the production CLI keeps the bucketing default
     result = multimodal_video_mocap(
-        ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(markers.points)), cfg, model
+        ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(markers.points)), cfg, model,
+        frame_bucket=None,
     )
     dt = time.time() - t0
     return result, gt, dt

@@ -22,8 +22,6 @@ the asset file.
 from __future__ import annotations
 
 import functools
-import os
-import tempfile
 
 import jax.numpy as jnp
 import numpy as np

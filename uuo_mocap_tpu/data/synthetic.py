@@ -12,7 +12,7 @@ needs *plausible* body motion with known ground truth.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

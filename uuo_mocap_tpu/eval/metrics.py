@@ -14,7 +14,7 @@ from typing import Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
-from uuo_mocap_tpu.body.joints import SMPL_LIMBS, get_joint_id
+from uuo_mocap_tpu.body.joints import SMPL_LIMBS
 from uuo_mocap_tpu.ops.point_mesh import marker_to_surface_distance
 from uuo_mocap_tpu.ops.procrustes import similarity_transform
 

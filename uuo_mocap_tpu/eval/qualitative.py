@@ -10,8 +10,6 @@ import argparse
 import os
 from typing import List, Optional
 
-import numpy as np
-
 
 def run_qualitative(
     model,

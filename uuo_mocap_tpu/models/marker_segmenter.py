@@ -11,8 +11,6 @@ like the reference (``marker_segmenter.py:106-135``).
 """
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Each ``train_*`` returns (params, metrics_history) and can persist via
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Collectives ride ICI; the host only sees the final selected parameters.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pickle
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -30,7 +30,7 @@ from uuo_mocap_tpu.ops import rotations as rot
 from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume, get_marker_mask
 from uuo_mocap_tpu.pipeline.part_fit import PartFitter
 from uuo_mocap_tpu.pipeline.segmentation import segment_rigid
-from uuo_mocap_tpu.pipeline.stages import MarkerAttachment, SmplParams, SolveStages, _forward
+from uuo_mocap_tpu.pipeline.stages import SmplParams, SolveStages, _forward
 
 
 def resample_smpl_stream(
@@ -90,11 +90,19 @@ def multimodal_video_mocap(
     print_options: List[str] = [],
     save_stages: bool = False,
     iter_journal=None,
+    frame_bucket: Optional[int] = 64,
 ) -> Dict[str, Any]:
     """Solve SMPL parameters from unlabeled markers + video prior.
 
     ``iter_journal``: optional ``pipeline.journal.IterationJournal`` capturing
     per-stage parameter snapshots (the reference's ``iter_fn`` protocol).
+
+    ``frame_bucket``: pad the frame count up to a multiple of this so
+    sequences of varying length share compiled programs (XLA compiles per
+    shape; the canonical datasets window to fixed durations but trailing
+    windows vary).  Padding frames carry zeroed markers (masked by the
+    origin-mask protocol) and repeat the prior's last frame; outputs are
+    sliced back to the true length.  None disables bucketing.
     """
     t_start = time.time()
     progress = "progress" in print_options
@@ -148,6 +156,28 @@ def multimodal_video_mocap(
     )
     img_mask_np = np.asarray(img_smpl.img_mask, np.float32)
     img_mask_np = pad_stream(img_mask_np, offset)[:F]
+
+    # ---- frame bucketing: pad to a shape bucket so varying window lengths
+    #      reuse compiled programs; padded frames are fully masked
+    F_real = F
+    if frame_bucket and F % frame_bucket != 0:
+        F_pad = ((F + frame_bucket - 1) // frame_bucket) * frame_bucket
+        extra = F_pad - F
+
+        def pad_tail_repeat(a):
+            return np.concatenate([a, np.repeat(a[-1:], extra, axis=0)], axis=0)
+
+        o_trans = pad_tail_repeat(o_trans)
+        o_root_orient = pad_tail_repeat(o_root_orient)
+        o_pose_body = pad_tail_repeat(o_pose_body)
+        o_foot_contacts = np.concatenate([o_foot_contacts, np.zeros((extra, 2), np.float32)], axis=0)
+        markers_np = np.concatenate(
+            [markers_np, np.zeros((extra,) + markers_np.shape[1:], np.float32)], axis=0
+        )  # zeroed markers = occluded (origin-mask protocol)
+        img_mask_np = np.concatenate([img_mask_np, np.zeros(extra, np.float32)], axis=0)
+        F = F_pad
+    frame_valid = np.zeros(F, np.float32)
+    frame_valid[:F_real] = 1.0
 
     markers = jnp.asarray(markers_np)
     weights = get_marker_mask(markers)
@@ -252,7 +282,9 @@ def multimodal_video_mocap(
     # ---- part fitting (multimodal.py:341-368)
     if config["find_best_part_fits"]:
         log("Stage [part]: fitting kinematic subtrees...")
-        fit_weights = jnp.ones_like(weights)  # reference part chamfer is unweighted
+        # reference part chamfer is unweighted over real markers; padded
+        # bucket frames are artificial and must not be fitted
+        fit_weights = jnp.ones_like(weights) * jnp.asarray(frame_valid)[:, None]
         if fit_marker_mask is not None:  # network mode: only the chain's markers
             fit_weights = fit_weights * jnp.asarray(fit_marker_mask)[None, :]
         with timed("part_fit"):
@@ -419,14 +451,23 @@ def multimodal_video_mocap(
             output["stages"]["marker_final"] = _params_to_stage_dict(params)
 
     # ---- output assembly (multimodal.py:679-710)
-    output["trans"] = np.asarray(params.trans)
-    output["root_orient"] = np.asarray(rot.normalize_rotation(params.root_orient))
-    output["pose_body"] = np.asarray(rot.normalize_rotation(params.pose_body))
-    output["betas"] = np.broadcast_to(np.asarray(params.betas), (F, 10)).copy()
+    # slice padded frames back off every per-frame output
+    def unpad(a):
+        return a[:F_real] if frame_bucket else a
+
+    if save_stages:
+        for stage_dict in output["stages"].values():
+            for key in ("trans", "root_orient", "pose_body"):
+                stage_dict[key] = unpad(stage_dict[key])
+
+    output["trans"] = unpad(np.asarray(params.trans))
+    output["root_orient"] = unpad(np.asarray(rot.normalize_rotation(params.root_orient)))
+    output["pose_body"] = unpad(np.asarray(rot.normalize_rotation(params.pose_body)))
+    output["betas"] = np.broadcast_to(np.asarray(params.betas), (F_real, 10)).copy()
     output["mocap_frame_rate"] = mocap_freq
-    mocap_markers.set_points(markers_np)
+    mocap_markers.set_points(markers_np[:F_real])
     output["mocap_markers"] = mocap_markers
-    output["markers_labels"] = marker_labels
+    output["markers_labels"] = np.asarray(marker_labels)[:F_real]
     if chain is not None:
         output["chain"] = chain
     output["solve_time_s"] = time.time() - t_start

@@ -25,11 +25,10 @@ Differences by design (not omissions):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from uuo_mocap_tpu.body.model import BodyModel, lbs_forward
 from uuo_mocap_tpu.ops import rotations as rot
@@ -41,7 +40,6 @@ from uuo_mocap_tpu.ops.chamfer import (
 from uuo_mocap_tpu.ops.point_mesh import point_mesh_distance
 from uuo_mocap_tpu.solver import losses as L
 from uuo_mocap_tpu.solver.lbfgs import BatchedLbfgs, LbfgsOptions
-from uuo_mocap_tpu.settings import MARKER_DISTANCE
 
 # iterations per device call — bounds single-execution wall time
 SEGMENT_SIZE = 50

@@ -25,7 +25,6 @@ becomes one batched program (SURVEY.md §2.8).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
 import jax

@@ -8,8 +8,6 @@ jit/vmap/grad-safe, and batched over leading dims where meaningful.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

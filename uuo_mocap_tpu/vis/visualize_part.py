@@ -5,8 +5,6 @@ renderer used by ``find_best_part_fits``'s ``visualize_fn``).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
