@@ -92,6 +92,7 @@ def run_test(
     subjects: Optional[List[str]] = None,
     num_files: Optional[int] = None,
     print_options: List[str] = [],
+    save_iterations: Optional[str] = None,
 ) -> int:
     import joblib
 
@@ -174,10 +175,18 @@ def run_test(
             pts = trim_trailing_zero_frames(pts)
             markers.set_points(pts)
 
+            journal = None
+            if save_iterations:
+                from uuo_mocap_tpu.pipeline.journal import IterationJournal
+
+                journal = IterationJournal()
             result = multimodal_video_mocap(
                 img_smpl, markers, config, model, offset=0,
-                print_options=print_options, save_stages=True,
+                print_options=print_options, save_stages=True, iter_journal=journal,
             )
+            if journal is not None:
+                os.makedirs(save_iterations, exist_ok=True)
+                journal.save(os.path.join(save_iterations, f"{subject}_{seq_name}_iterations.pkl"))
             export_stageii(out_file + ".npz", result)
             for stage in result.get("stages", {}):
                 export_stageii(out_file + ".npz", result, stage)
@@ -206,6 +215,10 @@ def main(argv=None):
     parser.add_argument("--parts", action="store_true")
     parser.add_argument("--parts_list", nargs="+", default=[])
     parser.add_argument("--print_options", type=str, nargs="*", default=["loss", "progress"])
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax profiler trace (TensorBoard format) to this dir")
+    parser.add_argument("--save_iterations", type=str, default=None,
+                        help="write the per-stage iteration journal pkl here")
     args = parser.parse_args(argv)
 
     if args.cpu_only:
@@ -230,7 +243,15 @@ def main(argv=None):
         input_dir=args.input_dir, output_dir=output_dir, dataset=args.dataset,
         camera=camera, config=config, model=model, sequences=args.sequences,
         subjects=args.subjects, num_files=args.num_files, print_options=args.print_options,
+        save_iterations=args.save_iterations,
     )
+
+    profiler_ctx = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profiler_ctx = args.profile
 
     base = os.path.join(args.input_dir, args.dataset)
     if args.parts:
@@ -247,6 +268,12 @@ def main(argv=None):
             run_test(synthetic=d.split("___")[-1], **common)
     else:
         run_test(**common)
+
+    if profiler_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+        print("profiler trace ->", profiler_ctx)
 
 
 if __name__ == "__main__":
