@@ -204,22 +204,39 @@ def _compose_kinematic_chain(
         (parents >= 0)[:, None], joints_rest[..., np.maximum(parents, 0), :], 0.0
     )  # [..., 24, 3]; root keeps absolute position
 
-    # Unrolled composition: results[j] = (R_world[j], t_world[j])
-    R_world = [None] * len(parents)
-    t_world = [None] * len(parents)
-    R_world[0] = rot_mats[..., 0, :, :]
-    t_world[0] = rel[..., 0, :]
-    for j in range(1, len(parents)):
-        p = int(parents[j])
-        R_p = R_world[p]
-        R_world[j] = jnp.einsum("...ij,...jk->...ik", R_p, rot_mats[..., j, :, :], precision=_P)
-        t_world[j] = t_world[p] + jnp.einsum("...ij,...j->...i", R_p, rel[..., j, :], precision=_P)
+    # Level-batched composition: joints at the same tree depth compose in one
+    # batched einsum against their (already computed) parents — 2 ops per
+    # depth level (~8 for SMPL) instead of 2 per joint (46), which matters
+    # because these are launch-bound [.., 3, 3] kernels.
+    J = len(parents)
+    depth = np.zeros(J, np.int64)
+    for j in range(1, J):
+        depth[j] = depth[int(parents[j])] + 1
+    levels = [np.where(depth == d)[0] for d in range(int(depth.max()) + 1)]
 
-    R_w = jnp.stack(R_world, axis=-3)  # [..., 24, 3, 3]
-    t_w = jnp.stack(t_world, axis=-2)  # [..., 24, 3]
+    R_w_parts = {0: rot_mats[..., 0, :, :]}
+    t_w_parts = {0: rel[..., 0, :]}
+    R_acc = jnp.zeros(rot_mats.shape[:-3] + (J, 3, 3), rot_mats.dtype)
+    t_acc = jnp.zeros(rot_mats.shape[:-3] + (J, 3), rot_mats.dtype)
+    R_acc = R_acc.at[..., 0, :, :].set(R_w_parts[0])
+    t_acc = t_acc.at[..., 0, :].set(t_w_parts[0])
+    for level in levels[1:]:
+        p_idx = parents[level]
+        R_p = jnp.take(R_acc, p_idx, axis=-3)  # [..., L, 3, 3]
+        t_p = jnp.take(t_acc, p_idx, axis=-2)
+        M = jnp.take(rot_mats, level, axis=-3)
+        r = jnp.take(rel, level, axis=-2)
+        # elementwise 3x3 compose (exact f32 on the VPU; also sidesteps an
+        # XLA simplifier mis-shape on batched 3x3 dots with >=3 batch dims)
+        R_l = jnp.sum(R_p[..., :, :, None] * M[..., None, :, :], axis=-2)
+        t_l = t_p + jnp.sum(R_p * r[..., None, :], axis=-1)
+        R_acc = R_acc.at[..., level, :, :].set(R_l)
+        t_acc = t_acc.at[..., level, :].set(t_l)
+    R_w = R_acc  # [..., 24, 3, 3]
+    t_w = t_acc  # [..., 24, 3]
 
     # LBS relative transform: translation part t - R @ j_rest
-    t_rel = t_w - jnp.einsum("...jab,...jb->...ja", R_w, joints_rest, precision=_P)
+    t_rel = t_w - jnp.sum(R_w * joints_rest[..., None, :], axis=-1)
     A = jnp.concatenate([R_w, t_rel[..., None]], axis=-1)  # [..., 24, 3, 4]
     return t_w, A
 
