@@ -1,21 +1,31 @@
-"""Benchmark: end-to-end sequence solve throughput (frames/sec).
+"""Benchmark: batched multi-sequence solve throughput (frames/sec).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
 
-Workload: the canonical clip shape from the reference protocol — a 15 s
-window at 30 Hz (450 frames, 41 markers, BASELINE.md / Benchmarks.md) solved
-end-to-end by the full staged pipeline (segmentation -> part fit ->
-4-yaw-hypothesis chamfer + marker IK -> refinement) on synthetic markers
-with known ground truth.  Accuracy gates the number: the run is only
-reported if the solve reaches < 40 mm MPJPE against the generating
-parameters (matched-accuracy speed, per BASELINE.json north star).
+Workload: a BATCH of sequences of the canonical clip shape from the
+reference protocol — 15 s windows at 30 Hz (450 frames, 41 markers,
+BASELINE.md / Benchmarks.md) — solved end-to-end by the full staged pipeline
+(segmentation -> part fit -> 4-yaw-hypothesis chamfer + marker IK ->
+refinement) through the production multi-sequence sweep
+(``parallel/batch_solver.py``): sequences x hypotheses x subtrees as lanes
+of single batched device programs.  The reference solves the same sweep
+sequentially, one sequence and one hypothesis at a time
+(``test/test.py:50-147``).
 
-vs_baseline: the reference itself cannot run here (pytorch3d/smplx CUDA
-stack absent), so the denominator is a measured torch-CPU eager proxy of
-the reference's hot loop (same math: full-sequence SMPL forward + chamfer
-closure under torch.optim.LBFGS) — see ``bench_baseline.py``; its measured
-rate is cached in ``BASELINE_PROXY.json``.
+Accuracy gates the number: the run only counts if the batch's mean MPJPE
+against the generating parameters stays < 40 mm (matched-accuracy speed,
+BASELINE.json north star).
+
+Honest-baseline protocol (VERDICT r1 item 8):
+  * ``vs_baseline`` — measured torch-CPU eager proxy of the reference's hot
+    closure (see ``bench_baseline.py``; 10.26 s/eval) x the eval count this
+    solve actually performed.  The reference stack itself cannot run here
+    (no CUDA, no pytorch3d).
+  * ``vs_baseline_gpu_adjusted`` — the same number divided by 10-50x (an
+    eager-torch GPU closure of this size is typically that much faster than
+    the CPU proxy; BASELINE.md caveat) — reported as [low, high].
+  * ``ms_per_eval`` and ``lbfgs_evals`` let a skeptic recompute everything.
 """
 import json
 import os
@@ -31,46 +41,55 @@ PROXY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_
 
 F_FRAMES = 450
 N_MARKERS = 41
+BATCH = 8  # sequences solved as one sweep
+GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
 
 
-def solve_once(model, cfg, seed):
-    import jax.numpy as jnp
-
+def make_batch(model, seed0):
     from uuo_mocap_tpu.data.img_smpl import ImgSmpl
     from uuo_mocap_tpu.data.markers import ArrayMarkers
     from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, random_pose_sequence
-    from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap
+    from uuo_mocap_tpu.pipeline.multimodal import prepare_sequence
 
-    gt = random_pose_sequence(F_FRAMES, seed=seed, yaw=0.9, travel=0.5)
-    markers = generate_markers(model, gt, num_markers=N_MARKERS, seed=seed + 1, occlusion_rate=0.05)
-    prior = perturb_params(gt, seed=seed + 2, pose_noise=0.05, trans_noise=0.08, betas_noise=0.2)
+    gts, preps = [], []
+    for q in range(BATCH):
+        gt = random_pose_sequence(F_FRAMES, seed=seed0 + 3 * q, yaw=0.9, travel=0.5)
+        markers = generate_markers(
+            model, gt, num_markers=N_MARKERS, seed=seed0 + 3 * q + 1, occlusion_rate=0.05
+        )
+        prior = perturb_params(
+            gt, seed=seed0 + 3 * q + 2, pose_noise=0.05, trans_noise=0.08, betas_noise=0.2
+        )
+        preps.append(prepare_sequence(
+            ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(markers.points)),
+            frame_bucket=None,
+        ))
+        gts.append(gt)
+    return gts, preps
 
-    t0 = time.time()
-    # frame_bucket=None: the bench measures the exact canonical 450-frame
-    # shape; the production CLI keeps the bucketing default
-    result = multimodal_video_mocap(
-        ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(markers.points)), cfg, model,
-        frame_bucket=None,
-    )
-    dt = time.time() - t0
-    return result, gt, dt
 
-
-def mpjpe_mm(model, result, gt):
+def batch_mpjpe_mm(model, results, gts):
     import jax.numpy as jnp
 
     from uuo_mocap_tpu.body.model import lbs_forward
 
-    F = gt.trans.shape[0]
-    out_gt = lbs_forward(model, gt.pose_body, jnp.broadcast_to(gt.betas, (F, 10)), gt.root_orient, gt.trans)
-    out_s = lbs_forward(
-        model,
-        jnp.asarray(result["pose_body"]),
-        jnp.asarray(result["betas"]),
-        jnp.asarray(result["root_orient"]),
-        jnp.asarray(result["trans"]),
-    )
-    return float(jnp.mean(jnp.linalg.norm(out_s["joints"][:, :22] - out_gt["joints"][:, :22], axis=-1))) * 1e3
+    errs = []
+    for r, gt in zip(results, gts):
+        F = gt.trans.shape[0]
+        out_gt = lbs_forward(
+            model, gt.pose_body, jnp.broadcast_to(gt.betas, (F, 10)), gt.root_orient, gt.trans
+        )
+        out_s = lbs_forward(
+            model,
+            jnp.asarray(r["pose_body"]),
+            jnp.asarray(r["betas"]),
+            jnp.asarray(r["root_orient"]),
+            jnp.asarray(r["trans"]),
+        )
+        errs.append(float(jnp.mean(jnp.linalg.norm(
+            out_s["joints"][:, :22] - out_gt["joints"][:, :22], axis=-1
+        ))) * 1e3)
+    return errs
 
 
 def main():
@@ -82,37 +101,57 @@ def main():
 
     from uuo_mocap_tpu.body.synthetic import synthetic_body_model
     from uuo_mocap_tpu.data.config import load_config
+    from uuo_mocap_tpu.parallel.batch_solver import MultiSequenceSolver
 
     model = synthetic_body_model()
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "video_mocap.yaml"))
+    solver = MultiSequenceSolver(model, cfg)
 
-    # warmup (compiles everything); timed run uses a different sequence
-    solve_once(model, cfg, seed=100)
-    result, gt, dt = solve_once(model, cfg, seed=200)
-    fps = F_FRAMES / dt
-    err = mpjpe_mm(model, result, gt)
+    # warmup batch compiles every stage program (incl. repack buckets on its
+    # convergence path); the timed run uses different sequences
+    _, preps_w = make_batch(model, seed0=1000)
+    solver.solve_prepared(preps_w)
+
+    gts, preps = make_batch(model, seed0=2000)
+    t0 = time.time()
+    out = solver.solve_prepared(preps)
+    dt = time.time() - t0
+
+    total_frames = BATCH * F_FRAMES
+    fps = total_frames / dt
+    errs = batch_mpjpe_mm(model, out["results"], gts)
+    err = float(np.mean(errs))
+    evals = int(out["lbfgs_evals"])
 
     vs_baseline = None
+    vs_gpu = None
     if os.path.exists(PROXY_FILE):
         with open(PROXY_FILE) as f:
             proxy = json.load(f)
         # reference proxy e2e time = (its sec per closure eval) x (the closure
-        # evals this solve actually performed, summed over all sequential
-        # lanes the reference would run one-by-one)
-        proxy_time = proxy["sec_per_closure_eval"] * max(result.get("lbfgs_evals", 0), 1)
-        vs_baseline = (F_FRAMES / dt) / (F_FRAMES / proxy_time)
+        # evals this solve actually performed — the reference runs every
+        # sequence/hypothesis/subtree lane sequentially, so lane evals sum)
+        proxy_time = proxy["sec_per_closure_eval"] * max(evals, 1)
+        vs_baseline = round(proxy_time / dt, 2)
+        vs_gpu = [round(vs_baseline / GPU_ADJUST[1], 2), round(vs_baseline / GPU_ADJUST[0], 2)]
 
     print(
         json.dumps(
             {
-                "metric": "e2e_sequence_solve_frames_per_sec_450f_41m_mpjpe_%.1fmm" % err,
+                "metric": "e2e_batch%d_solve_frames_per_sec_450f_41m_mpjpe_%.1fmm" % (BATCH, err),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline": vs_baseline,
                 "detail": {
+                    "batch_sequences": BATCH,
                     "solve_time_s": round(dt, 1),
-                    "lbfgs_evals": result.get("lbfgs_evals"),
-                    "stage_times_s": result.get("stage_times_s"),
+                    "frames_per_sec_per_sequence": round(fps / BATCH, 2),
+                    "lbfgs_evals": evals,
+                    "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
+                    "mpjpe_mm_per_sequence": [round(e, 1) for e in errs],
+                    "vs_baseline_gpu_adjusted": vs_gpu,
+                    "vs_baseline_note": "CPU-proxy denominator; GPU-adjusted range divides by 10-50x (BASELINE.md)",
+                    "stage_times_s": out.get("stage_times_s"),
                 },
             }
         )

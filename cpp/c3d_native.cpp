@@ -177,7 +177,19 @@ bool ParseC3d(const std::string& path, C3dData* out) {
   size_t d0 = (data_block - 1) * kBlock;
   bool is_float = scale < 0;
   size_t values_per_frame = static_cast<size_t>(num_points) * 4 + analog_per_frame;
-  size_t need = values_per_frame * num_frames * (is_float ? 4 : 2);
+  // validate BEFORE the avail computation: d0 past EOF would underflow
+  // raw.size()-d0 (size_t) into a huge frame count, and values_per_frame==0
+  // would divide by zero
+  if (num_points <= 0 || values_per_frame == 0) {
+    out->error = "no point data (POINT:USED == 0)";
+    return false;
+  }
+  if (data_block <= 0 || d0 >= raw.size()) {
+    out->error = "data block offset past end of file";
+    return false;
+  }
+  if (num_frames < 0) num_frames = 0;
+  size_t need = values_per_frame * static_cast<size_t>(num_frames) * (is_float ? 4 : 2);
   if (d0 + need > raw.size()) {
     // clamp frames to what is actually present
     size_t avail = (raw.size() - d0) / (values_per_frame * (is_float ? 4 : 2));
@@ -243,7 +255,15 @@ struct Prefetcher {
         queue.pop_front();
       }
       auto* data = new C3dData();
-      ParseC3d(path, data);
+      // an uncaught exception (e.g. bad_alloc on a corrupt file) in a worker
+      // thread would std::terminate the whole process — record it instead
+      try {
+        ParseC3d(path, data);
+      } catch (const std::exception& e) {
+        data->error = std::string("parse exception: ") + e.what();
+      } catch (...) {
+        data->error = "parse exception (unknown)";
+      }
       {
         std::lock_guard<std::mutex> lock(mu);
         ready[path] = data;

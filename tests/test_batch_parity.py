@@ -1,0 +1,117 @@
+"""Accuracy parity: the multi-sequence batch sweep must reproduce the
+sequential solver on the same inputs (VERDICT r1 item 1).
+
+Both paths run the same stage programs (the batch path lane-batches the
+per-sequence tensors), so agreement should be tight — the tolerance only
+absorbs float-reassociation differences between the two XLA programs.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uuo_mocap_tpu.body.model import lbs_forward
+from uuo_mocap_tpu.body.synthetic import synthetic_body_model
+from uuo_mocap_tpu.data.config import load_config
+from uuo_mocap_tpu.data.img_smpl import ImgSmpl
+from uuo_mocap_tpu.data.markers import ArrayMarkers
+from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, random_pose_sequence
+from uuo_mocap_tpu.parallel.batch_solver import MultiSequenceSolver
+from uuo_mocap_tpu.parallel.mesh import make_mesh
+from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap, prepare_sequence
+
+
+@pytest.fixture(scope="module")
+def body():
+    return synthetic_body_model()
+
+
+def _mpjpe_mm(body, a, b):
+    F = a["trans"].shape[0]
+    oa = lbs_forward(
+        body, jnp.asarray(a["pose_body"]), jnp.asarray(a["betas"]),
+        jnp.asarray(a["root_orient"]), jnp.asarray(a["trans"]),
+    )
+    ob = lbs_forward(
+        body, jnp.asarray(b["pose_body"]), jnp.asarray(b["betas"]),
+        jnp.asarray(b["root_orient"]), jnp.asarray(b["trans"]),
+    )
+    return float(jnp.mean(jnp.linalg.norm(
+        oa["joints"][:, :22] - ob["joints"][:, :22], axis=-1
+    ))) * 1e3
+
+
+def test_batch_sweep_matches_sequential(body):
+    cfg = load_config("configs/video_mocap.yaml")
+    cfg["num_root_orient_angles"] = 2
+    cfg["stages"]["part"]["num_iters"] = 30
+    cfg["stages"]["chamfer"]["num_iters"] = 30
+    cfg["stages"]["marker"]["num_iters"] = 30
+
+    Q, F, M = 2, 16, 20
+    seqs = []
+    for q in range(Q):
+        gt = random_pose_sequence(F, seed=100 + q, yaw=0.3 * q)
+        mk = generate_markers(body, gt, num_markers=M, seed=200 + q)
+        prior = perturb_params(gt, seed=300 + q, pose_noise=0.03, trans_noise=0.05)
+        seqs.append((gt, ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(mk.points))))
+
+    seq_results = [
+        multimodal_video_mocap(ims, mks, cfg, body, frame_bucket=None)
+        for _, ims, mks in seqs
+    ]
+
+    preps = [prepare_sequence(ims, mks, frame_bucket=None) for _, ims, mks in seqs]
+    solver = MultiSequenceSolver(body, cfg, mesh=make_mesh(8, model=1))
+    out = solver.solve_prepared(preps, save_stages=True)
+
+    assert out["scores"].shape == (Q, 2)
+    assert out["lbfgs_evals"] > 0
+    for q in range(Q):
+        gt, _, _ = seqs[q]
+        sr, br = seq_results[q], out["results"][q]
+        # batch-vs-sequential agreement (same programs, lane-batched)
+        d = _mpjpe_mm(body, sr, br)
+        assert d < 1.0, f"sequence {q}: batch vs sequential differ by {d:.2f} mm MPJPE"
+        # hypothesis selection must agree
+        assert br["best_hypothesis"] == int(np.argmin(out["scores"][q]))
+        # and both recover the ground truth
+        gt_dict = {
+            "pose_body": gt.pose_body,
+            "betas": jnp.broadcast_to(gt.betas, (F, 10)),
+            "root_orient": gt.root_orient,
+            "trans": gt.trans,
+        }
+        e_b = _mpjpe_mm(body, gt_dict, br)
+        assert e_b < 60.0, f"sequence {q}: batch MPJPE {e_b:.1f} mm"
+        # per-stage exports present
+        assert "chamfer" in br["stages"] and "marker_final" in br["stages"]
+
+
+def test_batch_padded_shapes(body):
+    """Sequences of different lengths/marker counts batch through the
+    pad_to_frames/pad_to_markers path and slice back to true sizes."""
+    cfg = load_config("configs/video_mocap.yaml")
+    cfg["num_root_orient_angles"] = 2
+    cfg["find_best_part_fits"] = False  # keep this variant fast
+    cfg["stages"]["chamfer"]["num_iters"] = 20
+    cfg["stages"]["marker"]["num_iters"] = 20
+
+    shapes = [(12, 16), (16, 20)]
+    preps = []
+    for q, (F, M) in enumerate(shapes):
+        gt = random_pose_sequence(F, seed=400 + q)
+        mk = generate_markers(body, gt, num_markers=M, seed=500 + q)
+        prior = perturb_params(gt, seed=600 + q, pose_noise=0.03)
+        preps.append(prepare_sequence(
+            ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(mk.points)),
+            pad_to_frames=16, pad_to_markers=20,
+        ))
+
+    solver = MultiSequenceSolver(body, cfg)
+    out = solver.solve_prepared(preps)
+    for q, (F, M) in enumerate(shapes):
+        r = out["results"][q]
+        assert r["trans"].shape == (F, 3)
+        assert r["pose_body"].shape == (F, 23, 3, 3)
+        assert r["markers_labels"].shape == (F, M)
+        assert np.isfinite(r["trans"]).all()

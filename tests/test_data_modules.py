@@ -135,15 +135,17 @@ def test_export_tool_and_comparisons_roundtrip(tmp_path, body):
     gt_path = tmp_path / "synth" / "smpl" / "s1" / "walk_000_stageii.npz"
     assert gt_path.exists()
 
-    stats = run_comparisons(body, str(tmp_path), "synth", methods=["moshpp"])
+    # the synthetic variant routes markers through mocap_synthetic___5_20
+    # (reference comparisons.py:322-326); m2s comes from the real c3d — the
+    # harness never fabricates markers
+    stats = run_comparisons(body, str(tmp_path), "synth", methods=["moshpp"], synthetic="5_20")
     assert "moshpp" in stats and stats["moshpp"]
     # GT vs itself: joint errors ~0 (m2s is nonzero: markers sit 9.5mm off the surface)
     assert stats["moshpp"]["mpjpe"]["mean"] < 1e-2
     assert stats["moshpp"]["v2v"]["mean"] < 1e-2
     assert stats["moshpp"]["m2s"]["mean"] < 20.0
-    yaml_path = tmp_path / "synth" / "results" / "stats" / "synth" / "moshpp.yaml"
-    csv_path = tmp_path / "synth" / "results" / "stats" / "synth" / "moshpp.csv"
-    assert yaml_path.exists() and csv_path.exists()
+    stats_root = tmp_path / "synth" / "results" / "stats" / "synth" / "synthetic_5_20"
+    assert (stats_root / "moshpp.yaml").exists() and (stats_root / "moshpp.csv").exists()
 
 
 def test_stage_ablations_harness(tmp_path, body):

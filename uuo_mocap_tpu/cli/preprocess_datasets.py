@@ -31,11 +31,18 @@ from typing import List, Optional
 
 import numpy as np
 
-from uuo_mocap_tpu.data.preprocess import BODY_PARTS, preprocess_c3d_file
+from uuo_mocap_tpu.data.dataset_tables import (
+    CMU_KITCHEN_BACKPACK_LABELS,
+    DATASET_PART_TABLES,
+    MOYO_VALID_MARKERS,
+    umpm_fix_label,
+)
+from uuo_mocap_tpu.data.preprocess import preprocess_c3d_file
 
 DATASET_DEFAULTS = {
     "cmu_kitchen": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
     "umpm": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
+    "umpm_parts": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
     "moyo": {"window_seconds": 3.0, "remove": (), "freq": 30.0},
     "bmlmovi": {"window_seconds": 15.0, "remove": (), "freq": 30.0},
 }
@@ -99,16 +106,35 @@ def run_dataset(
 ) -> int:
     defaults = DATASET_DEFAULTS[kind]
     window = window_seconds or defaults["window_seconds"]
-    remove = ("BACKPACK",) if remove_backpack else ()
+    # vendored dataset tables (data/dataset_tables.py): exact backpack labels
+    # for CMU, label canonicalization for UMPM, session whitelists for MOYO,
+    # per-dataset part-name tables
+    remove_labels = tuple(CMU_KITCHEN_BACKPACK_LABELS) if (
+        remove_backpack and kind == "cmu_kitchen") else ()
+    remove = ("BACKPACK",) if (remove_backpack and kind != "cmu_kitchen") else ()
+    canonicalize = umpm_fix_label if kind.startswith("umpm") else None
+    part_table = DATASET_PART_TABLES.get(kind)
     if dataset_name is None:
-        dataset_name = {"cmu_kitchen": "cmu_kitchen_pilot"}.get(kind, kind)
+        dataset_name = {"cmu_kitchen": "cmu_kitchen_pilot", "umpm_parts": "umpm"}.get(kind, kind)
         if remove_backpack:
             dataset_name += "_rb"  # reference ``preprocess_cmu_kitchen.py:171-174``
 
     whitelists = {}
+    if kind == "moyo":
+        # per-session valid markers (reference preprocess_moyo.py:44-47);
+        # matched by session-name substring of the subject or sequence
+        whitelists = dict(MOYO_VALID_MARKERS)
     if whitelist_file:
         with open(whitelist_file) as f:
-            whitelists = json.load(f)  # {sequence_name: [marker names]}
+            whitelists.update(json.load(f))  # {sequence_name: [marker names]}
+
+    def whitelist_for(subject: str, seq: str):
+        if seq in whitelists:
+            return whitelists[seq]
+        for key, names in whitelists.items():
+            if key in subject or key in seq:
+                return names
+        return None
 
     count = 0
     subjects = subjects or sorted(
@@ -121,16 +147,21 @@ def run_dataset(
                 continue
             seq = fname[:-4]
             out_base = os.path.join(output_dir, dataset_name)
+            if parts is None and part_table is not None and kind.endswith("_parts"):
+                parts = list(part_table)
             written = preprocess_c3d_file(
                 os.path.join(sdir, fname),
                 os.path.join(out_base),
                 sequence_name=seq,
                 target_freq=defaults["freq"],
                 window_seconds=window,
-                subject_prefix=subject if kind in ("cmu_kitchen", "umpm") else None,
+                subject_prefix=subject if kind in ("cmu_kitchen", "umpm", "umpm_parts") else None,
                 remove_substrings=remove,
-                keep_whitelist=whitelists.get(seq),
+                keep_whitelist=whitelist_for(subject, seq),
                 parts=parts,
+                remove_labels=remove_labels,
+                canonicalize=canonicalize,
+                part_table=part_table,
             )
             # move per-subject: preprocess writes under out_base/<dirname>/; relocate into subject dirs
             for path in written:
@@ -196,7 +227,9 @@ def main(argv=None):
     parser.add_argument("--output", required=True)
     parser.add_argument("--dataset_name", type=str, default=None)
     parser.add_argument("--subjects", nargs="+", default=None)
-    parser.add_argument("--parts", nargs="+", default=None, choices=list(BODY_PARTS))
+    parser.add_argument("--parts", nargs="+", default=None,
+                        help="part names from the dataset's vendored table "
+                             "(data/dataset_tables.py) or the generic table")
     parser.add_argument("--remove_backpack", action="store_true")
     parser.add_argument("--whitelists", type=str, default=None, help="json: sequence -> valid markers")
     parser.add_argument("--window_seconds", type=float, default=None)

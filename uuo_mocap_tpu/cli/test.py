@@ -93,6 +93,7 @@ def run_test(
     num_files: Optional[int] = None,
     print_options: List[str] = [],
     save_iterations: Optional[str] = None,
+    batch: int = 1,
 ) -> int:
     import joblib
 
@@ -113,22 +114,11 @@ def run_test(
     if subjects is None:
         subjects = sorted(os.listdir(mocap_dir))
 
-    # Native thread-pool prefetcher: upcoming c3d files parse while the TPU
-    # solves the current sequence (the reference's loop is fully sequential).
-    from uuo_mocap_tpu.data.c3d_native import SequencePrefetcher
-
-    prefetcher = SequencePrefetcher(n_threads=2)
-    pending: List[str] = []
-    for subject in subjects:
-        seq_dir = os.path.join(mocap_dir, subject)
-        if os.path.isdir(seq_dir):
-            for s in sorted(os.listdir(seq_dir)):
-                if s.endswith(".c3d"):
-                    path = os.path.join(seq_dir, s)
-                    prefetcher.enqueue(path)
-                    pending.append(path)
-
-    file_count = 0
+    # ---- build the filtered work list FIRST (sequences/subjects filters,
+    # output-exists resume skip, missing-pkl skip), so the prefetcher only
+    # parses files that will actually be solved — enqueueing everything up
+    # front leaks parsed arrays in the C++ ready map on resume/filtered runs
+    work: List[Dict] = []
     for subject in subjects:
         if sequences is None:
             seqs = sorted(os.listdir(os.path.join(mocap_dir, subject)))
@@ -155,25 +145,93 @@ def run_test(
             if not os.path.isfile(pkl_file):
                 print("Skipping", pkl_file)
                 continue
+            work.append(dict(
+                subject=subject, seq_name=seq_name, out_file=out_file,
+                markers_file=markers_file, video_file=video_file, pkl_file=pkl_file,
+            ))
+    if num_files is not None:
+        work = work[: num_files + 1]  # the loop solves num_files+1 then returns
 
-            img_smpl = ImgSmpl(joblib.load(pkl_file), _video_freq(video_file))
-            if markers_file in pending:
-                data = prefetcher.get(markers_file)
-                from uuo_mocap_tpu.data.markers import _UNIT_SCALE
+    # Native thread-pool prefetcher: upcoming c3d files parse while the TPU
+    # solves the current sequence (the reference's loop is fully sequential).
+    from uuo_mocap_tpu.data.c3d_native import SequencePrefetcher
 
-                markers = Markers.__new__(Markers)
-                ArrayMarkers.__init__(
-                    markers,
-                    data["points"][:, :, :3] / _UNIT_SCALE.get(data.get("units", "m"), 1.0),
-                    freq=data["rate"],
-                    labels=data.get("labels", []),
-                )
-                markers.filename = markers_file
-            else:
-                markers = Markers(markers_file)
-            pts = np.nan_to_num(markers.get_points(), nan=0.0)
-            pts = trim_trailing_zero_frames(pts)
-            markers.set_points(pts)
+    prefetcher = SequencePrefetcher(n_threads=2)
+    pending: List[str] = []
+    for item in work:
+        prefetcher.enqueue(item["markers_file"])
+        pending.append(item["markers_file"])
+
+    def load_markers(markers_file):
+        if markers_file in pending:
+            data = prefetcher.get(markers_file)
+            from uuo_mocap_tpu.data.markers import _UNIT_SCALE
+
+            markers = Markers.__new__(Markers)
+            ArrayMarkers.__init__(
+                markers,
+                data["points"][:, :, :3] / _UNIT_SCALE.get(data.get("units", "m"), 1.0),
+                freq=data["rate"],
+                labels=data.get("labels", []),
+            )
+            markers.filename = markers_file
+        else:
+            markers = Markers(markers_file)
+        pts = np.nan_to_num(markers.get_points(), nan=0.0)
+        pts = trim_trailing_zero_frames(pts)
+        markers.set_points(pts)
+        return markers
+
+    def export_result(item, result):
+        export_stageii(item["out_file"] + ".npz", result)
+        for stage in result.get("stages", {}):
+            export_stageii(item["out_file"] + ".npz", result, stage)
+
+    if batch > 1:
+        # ---- the production sharded sweep: groups of `batch` sequences
+        # solve as lanes of single batched device programs
+        # (parallel/batch_solver.py; the reference's loop is sequential,
+        # test/test.py:50-147)
+        from uuo_mocap_tpu.parallel.batch_solver import MultiSequenceSolver
+        from uuo_mocap_tpu.pipeline.multimodal import prepare_sequence
+
+        solver = MultiSequenceSolver(model, config)
+        file_count = 0
+        for g0 in range(0, len(work), batch):
+            group = work[g0 : g0 + batch]
+            loaded = []
+            for item in group:
+                img_smpl = ImgSmpl(joblib.load(item["pkl_file"]), _video_freq(item["video_file"]))
+                loaded.append((item, img_smpl, load_markers(item["markers_file"])))
+            # shared padded shape for the group (bucket-of-64 frames)
+            raw_preps = [prepare_sequence(ims, mk, offset=0) for _, ims, mk in loaded]
+            F_pad = max(p.F for p in raw_preps)
+            M_pad = max(p.markers.shape[1] for p in raw_preps)
+            preps = [
+                prepare_sequence(ims, mk, offset=0, pad_to_frames=F_pad, pad_to_markers=M_pad)
+                for _, ims, mk in loaded
+            ]
+            out = solver.solve_prepared(preps, print_options=print_options, save_stages=True)
+            for (item, _, mk), result in zip(loaded, out["results"]):
+                result = dict(result)
+                result["mocap_markers"] = mk
+                export_result(item, result)
+                print(f"Solved {item['subject']}/{item['seq_name']} (batch of {len(group)})")
+                file_count += 1
+            print(
+                f"Batch of {len(group)}: {out['solve_time_s']:.1f}s total, "
+                f"{out['lbfgs_evals']} evals, stages {out['stage_times_s']}"
+            )
+            if num_files is not None and file_count > num_files:
+                return file_count
+        return file_count
+
+    file_count = 0
+    for item in work:
+            subject, seq_name = item["subject"], item["seq_name"]
+
+            img_smpl = ImgSmpl(joblib.load(item["pkl_file"]), _video_freq(item["video_file"]))
+            markers = load_markers(item["markers_file"])
 
             journal = None
             if save_iterations:
@@ -187,9 +245,7 @@ def run_test(
             if journal is not None:
                 os.makedirs(save_iterations, exist_ok=True)
                 journal.save(os.path.join(save_iterations, f"{subject}_{seq_name}_iterations.pkl"))
-            export_stageii(out_file + ".npz", result)
-            for stage in result.get("stages", {}):
-                export_stageii(out_file + ".npz", result, stage)
+            export_result(item, result)
             print(f"Solved {subject}/{seq_name} in {result['solve_time_s']:.1f}s")
 
             file_count += 1
@@ -219,6 +275,9 @@ def main(argv=None):
                         help="write a jax profiler trace (TensorBoard format) to this dir")
     parser.add_argument("--save_iterations", type=str, default=None,
                         help="write the per-stage iteration journal pkl here")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="solve this many sequences as one batched sweep "
+                             "(lanes of single device programs; 1 = sequential)")
     args = parser.parse_args(argv)
 
     if args.cpu_only:
@@ -243,7 +302,7 @@ def main(argv=None):
         input_dir=args.input_dir, output_dir=output_dir, dataset=args.dataset,
         camera=camera, config=config, model=model, sequences=args.sequences,
         subjects=args.subjects, num_files=args.num_files, print_options=args.print_options,
-        save_iterations=args.save_iterations,
+        save_iterations=args.save_iterations, batch=args.batch,
     )
 
     profiler_ctx = None

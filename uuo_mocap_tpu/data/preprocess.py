@@ -58,11 +58,16 @@ def filter_labels(
     subject_prefix: Optional[str] = None,
     remove_substrings: Sequence[str] = (),
     keep_whitelist: Optional[Sequence[str]] = None,
+    remove_labels: Sequence[str] = (),
+    canonicalize=None,
 ) -> tuple[np.ndarray, List[str]]:
     """Marker selection by label: subject prefix (multi-subject captures,
-    reference ``preprocess_cmu_kitchen.py:81-89`` / umpm ``fix_label``),
-    substring removal (e.g. backpack markers, ``:116``), whitelists (MOYO
-    valid-marker sessions, ``preprocess_moyo.py:44-47``)."""
+    reference ``preprocess_cmu_kitchen.py:81-89``), exact-label removal
+    (backpack markers, ``:81-89,116``), substring removal, whitelists (MOYO
+    valid-marker sessions, ``preprocess_moyo.py:44-47``), and per-dataset
+    label canonicalization (umpm ``fix_label``, ``preprocess_umpm.py:34-38``).
+    Canonicalization runs before the removal/whitelist checks so the vendored
+    tables (``data/dataset_tables.py``) match."""
     keep = []
     out_labels = []
     for i, raw in enumerate(labels):
@@ -71,6 +76,10 @@ def filter_labels(
             if not label.startswith(subject_prefix):
                 continue
             label = label[len(subject_prefix):].lstrip(":_")
+        if canonicalize is not None:
+            label = canonicalize(label)
+        if label in remove_labels:
+            continue
         if any(s in label for s in remove_substrings):
             continue
         if keep_whitelist is not None and label not in keep_whitelist:
@@ -80,11 +89,22 @@ def filter_labels(
     return points[:, keep], out_labels
 
 
-def select_part(points: np.ndarray, labels: Sequence[str], part: str) -> tuple[np.ndarray, List[str]]:
+def select_part(
+    points: np.ndarray, labels: Sequence[str], part: str,
+    part_table: Optional[Dict[str, List[str]]] = None,
+) -> tuple[np.ndarray, List[str]]:
     """Per-part marker subsets (reference ``preprocess_cmu_kitchen.py:23-29``,
-    ``preprocess_umpm_parts.py:26-41``)."""
-    prefixes = BODY_PARTS[part]
-    keep = [i for i, l in enumerate(labels) if any(l.strip().startswith(p) for p in prefixes)]
+    ``preprocess_umpm_parts.py:26-41``).
+
+    With a vendored dataset table (``data/dataset_tables.py``) membership is
+    by EXACT marker name, matching the reference; the generic prefix table
+    is the fallback for unknown datasets."""
+    if part_table is not None:
+        names = set(part_table[part])
+        keep = [i for i, l in enumerate(labels) if l.strip() in names]
+    else:
+        prefixes = BODY_PARTS[part]
+        keep = [i for i, l in enumerate(labels) if any(l.strip().startswith(p) for p in prefixes)]
     return points[:, keep], [labels[i] for i in keep]
 
 
@@ -118,6 +138,9 @@ def preprocess_c3d_file(
     parts: Optional[Sequence[str]] = None,
     gender: str = "neutral",
     units_out: str = "m",
+    remove_labels: Sequence[str] = (),
+    canonicalize=None,
+    part_table: Optional[Dict[str, List[str]]] = None,
 ) -> List[str]:
     """Full preprocessing of one capture: parse -> trim -> label filter ->
     30 Hz downsample -> window -> write per-window c3d (+ per-part subsets)
@@ -135,7 +158,10 @@ def preprocess_c3d_file(
     freq = data["rate"]
 
     points = trim_trailing_zero_channels(points)
-    points, labels = filter_labels(points, labels, subject_prefix, remove_substrings, keep_whitelist)
+    points, labels = filter_labels(
+        points, labels, subject_prefix, remove_substrings, keep_whitelist,
+        remove_labels=remove_labels, canonicalize=canonicalize,
+    )
 
     idx = get_downsampled_indices(points.shape[0], freq, target_freq)
     points = points[idx]
@@ -143,7 +169,7 @@ def preprocess_c3d_file(
     written = []
     variants = [("mocap", points, labels)]
     for part in parts or []:
-        p_pts, p_labels = select_part(points, labels, part)
+        p_pts, p_labels = select_part(points, labels, part, part_table)
         variants.append((f"mocap_parts___{part}", p_pts, p_labels))
 
     for dirname, pts, labs in variants:

@@ -40,6 +40,26 @@ class IterationJournal:
             {"iteration": int(iteration), "loss": float(loss)}
         )
 
+    def segment_hook(self, stage: str, convert=None):
+        """Per-L-BFGS-segment parameter snapshots — the bounded-rate analog
+        of the reference's per-iteration ``iter_fn`` dumps
+        (``multimodal.py:102-142``).  Attach to ``BatchedLbfgs.snapshot``;
+        the segmented driver already syncs per segment, so snapshots cost no
+        extra device round-trips.
+
+        ``convert(params_np, lanes)`` may map the raw optimizer parameters
+        (6d rotations etc.) to render-ready arrays per lane.  Entries land
+        under ``<stage>__segments`` as {lanes, iters, params}.
+        """
+
+        def hook(lanes: np.ndarray, iters: np.ndarray, params_np) -> None:
+            params = params_np if convert is None else convert(params_np, lanes)
+            self.entries.setdefault(f"{stage}__segments", []).append(
+                {"t": time.time() - self._t0, "lanes": lanes, "iters": iters, "params": params}
+            )
+
+        return hook
+
     def save(self, filename: str) -> str:
         with open(filename, "wb") as f:
             pickle.dump(self.entries, f)

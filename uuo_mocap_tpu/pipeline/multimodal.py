@@ -81,6 +81,150 @@ def _params_to_stage_dict(params: SmplParams) -> Dict[str, np.ndarray]:
     }
 
 
+class PreparedSequence:
+    """Host-preprocessed inputs of one sequence: resampled/slerped prior
+    streams, offset-padded + frame-bucketed marker cloud, validity masks.
+    All arrays are numpy; ``F`` includes bucket padding, ``F_real`` is the
+    true frame count.  Shared by the single-sequence solver and the
+    multi-sequence sweep (identical semantics by construction)."""
+
+    __slots__ = (
+        "markers", "img_mask", "frame_valid", "F", "F_real", "M_real",
+        "o_trans", "o_root_orient", "o_pose_body", "o_foot_contacts", "o_betas",
+        "mocap_freq",
+    )
+
+
+def prepare_sequence(
+    img_smpl: ImgSmpl,
+    mocap_markers,
+    offset: Optional[int] = None,
+    frame_bucket: Optional[int] = 64,
+    pad_to_frames: Optional[int] = None,
+    pad_to_markers: Optional[int] = None,
+) -> PreparedSequence:
+    """Resample the HMR prior to mocap rate, apply the temporal offset, and
+    pad to shape buckets (reference ``multimodal.py:145-215`` host steps).
+
+    ``pad_to_frames``/``pad_to_markers`` force exact padded sizes so a batch
+    of sequences shares one program shape (padding frames carry zeroed
+    markers + repeated prior; padding marker columns are all-zero = occluded
+    under the origin-mask protocol)."""
+    mocap_freq = float(mocap_markers.get_frequency())
+
+    o_trans, o_root_orient, o_pose_body, o_foot_contacts = resample_smpl_stream(
+        np.asarray(img_smpl.trans, np.float32),
+        np.asarray(img_smpl.root_orient, np.float32),
+        np.asarray(img_smpl.pose_body, np.float32),
+        np.asarray(img_smpl.foot_contacts, np.float32),
+        img_smpl.freq,
+        mocap_freq,
+    )
+    o_betas = np.sum(np.asarray(img_smpl.betas, np.float32), axis=0, keepdims=True)
+    o_betas = o_betas / max(float(np.sum(img_smpl.img_mask)), 1.0)
+
+    markers_np = np.nan_to_num(np.asarray(mocap_markers.get_points(), np.float32), nan=0.0)
+
+    # temporal offset (multimodal.py:209-215)
+    offset = int(offset or 0)
+    o_pose_body = pad_stream(o_pose_body, offset)
+    o_root_orient = pad_stream(o_root_orient, offset)
+    o_trans = pad_stream(o_trans, offset)
+    o_foot_contacts = pad_stream(o_foot_contacts, offset)
+    markers_np = pad_stream(markers_np, -offset)
+
+    F = min(markers_np.shape[0], o_trans.shape[0])
+    markers_np = markers_np[:F]
+    o_trans, o_root_orient, o_pose_body, o_foot_contacts = (
+        o_trans[:F], o_root_orient[:F], o_pose_body[:F], o_foot_contacts[:F],
+    )
+    img_mask_np = np.asarray(img_smpl.img_mask, np.float32)
+    img_mask_np = pad_stream(img_mask_np, offset)[:F]
+
+    # frame bucketing / exact-size padding: padded frames are fully masked
+    F_real = F
+    if pad_to_frames is not None:
+        F_pad = int(pad_to_frames)
+    elif frame_bucket and F % frame_bucket != 0:
+        F_pad = ((F + frame_bucket - 1) // frame_bucket) * frame_bucket
+    else:
+        F_pad = F
+    if F_pad < F:
+        raise ValueError(f"pad_to_frames {F_pad} < sequence length {F}")
+    if F_pad != F:
+        extra = F_pad - F
+
+        def pad_tail_repeat(a):
+            return np.concatenate([a, np.repeat(a[-1:], extra, axis=0)], axis=0)
+
+        o_trans = pad_tail_repeat(o_trans)
+        o_root_orient = pad_tail_repeat(o_root_orient)
+        o_pose_body = pad_tail_repeat(o_pose_body)
+        o_foot_contacts = np.concatenate([o_foot_contacts, np.zeros((extra, 2), np.float32)], axis=0)
+        markers_np = np.concatenate(
+            [markers_np, np.zeros((extra,) + markers_np.shape[1:], np.float32)], axis=0
+        )  # zeroed markers = occluded (origin-mask protocol)
+        img_mask_np = np.concatenate([img_mask_np, np.zeros(extra, np.float32)], axis=0)
+        F = F_pad
+
+    M_real = markers_np.shape[1]
+    if pad_to_markers is not None and pad_to_markers != M_real:
+        if pad_to_markers < M_real:
+            raise ValueError(f"pad_to_markers {pad_to_markers} < marker count {M_real}")
+        markers_np = np.concatenate(
+            [markers_np, np.zeros((F, pad_to_markers - M_real, 3), np.float32)], axis=1
+        )
+
+    prep = PreparedSequence()
+    prep.markers = markers_np
+    prep.img_mask = img_mask_np
+    frame_valid = np.zeros(F, np.float32)
+    frame_valid[:F_real] = 1.0
+    prep.frame_valid = frame_valid
+    prep.F = F
+    prep.F_real = F_real
+    prep.M_real = M_real
+    prep.o_trans = o_trans
+    prep.o_root_orient = o_root_orient
+    prep.o_pose_body = o_pose_body
+    prep.o_foot_contacts = o_foot_contacts
+    prep.o_betas = o_betas
+    prep.mocap_freq = mocap_freq
+    return prep
+
+
+def _chamfer_segment_convert(root0_batch_np: np.ndarray):
+    """Raw chamfer-stage optimizer params -> render-ready arrays per lane
+    (for the per-segment journal; reference iter_fn pkl_parameters,
+    ``multimodal.py:121-133``)."""
+
+    def conv(params, lanes):
+        z = jnp.asarray(params["z"])
+        pose = rot.rotation_6d_to_matrix(jnp.asarray(params["pose6d"]))
+        r0 = jnp.asarray(root0_batch_np)[jnp.asarray(lanes)]
+        if z.shape[-1] == 6:
+            root = rot.rotation_6d_to_matrix(z)
+        else:
+            root = rot.rot_z(z) @ r0
+        return {
+            "trans": np.asarray(params["trans"]),
+            "betas": np.asarray(params["betas"]),
+            "pose_body": np.asarray(pose),
+            "root_orient": np.asarray(root),
+        }
+
+    return conv
+
+
+def _marker_segment_convert(params, lanes):
+    return {
+        "trans": np.asarray(params["trans"]),
+        "betas": np.asarray(params["betas"]),
+        "pose_body": np.asarray(rot.rotation_6d_to_matrix(jnp.asarray(params["pose6d"]))),
+        "root_orient": np.asarray(rot.rotation_6d_to_matrix(jnp.asarray(params["root6d"]))),
+    }
+
+
 def multimodal_video_mocap(
     img_smpl: ImgSmpl,
     mocap_markers,  # Markers-like: get_points() [F, M, 3], get_frequency()
@@ -125,59 +269,17 @@ def multimodal_video_mocap(
 
         return _T()
 
-    mocap_freq = float(mocap_markers.get_frequency())
-
-    # ---- resample the HMR streams to mocap rate (multimodal.py:145-182)
-    o_trans, o_root_orient, o_pose_body, o_foot_contacts = resample_smpl_stream(
-        np.asarray(img_smpl.trans, np.float32),
-        np.asarray(img_smpl.root_orient, np.float32),
-        np.asarray(img_smpl.pose_body, np.float32),
-        np.asarray(img_smpl.foot_contacts, np.float32),
-        img_smpl.freq,
-        mocap_freq,
-    )
-    o_betas = np.sum(np.asarray(img_smpl.betas, np.float32), axis=0, keepdims=True)
-    o_betas = o_betas / max(float(np.sum(img_smpl.img_mask)), 1.0)
-
-    markers_np = np.nan_to_num(np.asarray(mocap_markers.get_points(), np.float32), nan=0.0)
-
-    # ---- temporal offset (multimodal.py:209-215)
-    offset = int(offset or 0)
-    o_pose_body = pad_stream(o_pose_body, offset)
-    o_root_orient = pad_stream(o_root_orient, offset)
-    o_trans = pad_stream(o_trans, offset)
-    o_foot_contacts = pad_stream(o_foot_contacts, offset)
-    markers_np = pad_stream(markers_np, -offset)
-
-    F = min(markers_np.shape[0], o_trans.shape[0])
-    markers_np = markers_np[:F]
-    o_trans, o_root_orient, o_pose_body, o_foot_contacts = (
-        o_trans[:F], o_root_orient[:F], o_pose_body[:F], o_foot_contacts[:F],
-    )
-    img_mask_np = np.asarray(img_smpl.img_mask, np.float32)
-    img_mask_np = pad_stream(img_mask_np, offset)[:F]
-
-    # ---- frame bucketing: pad to a shape bucket so varying window lengths
-    #      reuse compiled programs; padded frames are fully masked
-    F_real = F
-    if frame_bucket and F % frame_bucket != 0:
-        F_pad = ((F + frame_bucket - 1) // frame_bucket) * frame_bucket
-        extra = F_pad - F
-
-        def pad_tail_repeat(a):
-            return np.concatenate([a, np.repeat(a[-1:], extra, axis=0)], axis=0)
-
-        o_trans = pad_tail_repeat(o_trans)
-        o_root_orient = pad_tail_repeat(o_root_orient)
-        o_pose_body = pad_tail_repeat(o_pose_body)
-        o_foot_contacts = np.concatenate([o_foot_contacts, np.zeros((extra, 2), np.float32)], axis=0)
-        markers_np = np.concatenate(
-            [markers_np, np.zeros((extra,) + markers_np.shape[1:], np.float32)], axis=0
-        )  # zeroed markers = occluded (origin-mask protocol)
-        img_mask_np = np.concatenate([img_mask_np, np.zeros(extra, np.float32)], axis=0)
-        F = F_pad
-    frame_valid = np.zeros(F, np.float32)
-    frame_valid[:F_real] = 1.0
+    # ---- host preprocessing: resample/slerp, temporal offset, bucketing
+    #      (reference multimodal.py:145-215; shared with the batch sweep)
+    prep = prepare_sequence(img_smpl, mocap_markers, offset=offset, frame_bucket=frame_bucket)
+    mocap_freq = prep.mocap_freq
+    markers_np = prep.markers
+    img_mask_np = prep.img_mask
+    frame_valid = prep.frame_valid
+    F, F_real = prep.F, prep.F_real
+    o_trans, o_root_orient, o_pose_body = prep.o_trans, prep.o_root_orient, prep.o_pose_body
+    o_foot_contacts, o_betas = prep.o_foot_contacts, prep.o_betas
+    frame_valid_j = jnp.asarray(frame_valid)
 
     markers = jnp.asarray(markers_np)
     weights = get_marker_mask(markers)
@@ -203,7 +305,13 @@ def multimodal_video_mocap(
             segment_markers_network,
         )
 
-        hmr_joints = None  # the multimodal segmenter consumes HMR joints when available
+        # the multimodal segmenter's video branch consumes the HMR joints:
+        # SMPL forward of the resampled prior stream (reference
+        # ``marker_segmenter_multimodal.py:117-171`` feeds 22x3 joints)
+        prior_out = _forward(
+            model, SmplParams(o_pose_body_j, o_betas_j, o_root_orient_j, o_trans_j)
+        )
+        hmr_joints = np.asarray(prior_out["joints"][:, :22])
         marker_labels = segment_markers_network(
             markers_np, mocap_freq,
             checkpoint_root=config.get("checkpoints_dir", "./checkpoints"),
@@ -220,7 +328,9 @@ def multimodal_video_mocap(
         groups = [list(np.where(merged == j)[0]) for j in largest]
     else:
         with timed("segment_rigid"):
-            groups = segment_rigid(markers_np)
+            # real frames only — bucket-padding zeros would distort the
+            # inter-marker distance statistics
+            groups = segment_rigid(markers_np[:F_real])
         marker_labels = np.zeros(markers_np.shape[:2], np.int64)
         for gi, group in enumerate(groups):
             marker_labels[:, group] = gi
@@ -233,7 +343,8 @@ def multimodal_video_mocap(
     mean_out = _forward(model, zero_trans)
     aabb_ratio = float(
         jnp.median(
-            get_aabb_volume(get_aabb(markers)) / get_aabb_volume(get_aabb(mean_out["vertices"]))
+            get_aabb_volume(get_aabb(markers[:F_real]))
+            / get_aabb_volume(get_aabb(mean_out["vertices"][:F_real]))
         )
     )
 
@@ -296,6 +407,7 @@ def multimodal_video_mocap(
             root_orient0=o_root_orient_j,
             num_rigid_groups=num_fit_groups,
             foot_contacts=o_foot_contacts_j,
+            frame_valid=frame_valid_j,
         )
         marker_labels = np.asarray(part_result.marker_labels)
         total_evals += part_result.lbfgs_evals
@@ -354,7 +466,7 @@ def multimodal_video_mocap(
         log("Stage [root]: optimizing root...")
         params_root, res_r = stages.root_stage(
             markers, weights, o_pose_body_j, betas, root_orient, trans,
-            marker_labels_mode_j, o_betas_j,
+            marker_labels_mode_j, o_betas_j, frame_valid=frame_valid_j,
         )
         total_evals += int(res_r.num_evals)
         root_orient, trans, betas = params_root.root_orient, params_root.trans, params_root.betas
@@ -384,11 +496,17 @@ def multimodal_video_mocap(
     root0_batch = seed_roots(angles)  # [A, F, 1, 3, 3]
 
     if do_chamfer:
+        if iter_journal is not None:
+            stages._chamfer_solver.snapshot = iter_journal.segment_hook(
+                "chamfer", _chamfer_segment_convert(np.asarray(root0_batch))
+            )
         with timed("chamfer"):
             chamfer_all, res_c = stages.chamfer_stage_batched(
             markers, weights, o_pose_body_j, o_betas_j,
             o_pose_body_j, betas, root0_batch, trans, marker_labels_mode_j,
+            frame_valid=frame_valid_j,
         )
+        stages._chamfer_solver.snapshot = None
         total_evals += int(np.sum(np.asarray(res_c.num_evals)))
     else:
         tile = lambda x: jnp.broadcast_to(x[None], (A,) + x.shape)
@@ -401,10 +519,16 @@ def multimodal_video_mocap(
         with timed("nearest"):
             attach_all = stages.nearest_points_batched(markers, chamfer_all, img_mask, nearest_labels)
             jax.block_until_ready(attach_all.vertex_ids)
+        if iter_journal is not None:
+            stages._marker_solver.snapshot = iter_journal.segment_hook(
+                "marker", _marker_segment_convert
+            )
         with timed("marker"):
             marker_all, res_m = stages.marker_stage_batched(
             markers, weights, o_pose_body_j, o_betas_j, chamfer_all, attach_all,
+            frame_valid=frame_valid_j,
         )
+        stages._marker_solver.snapshot = None
         total_evals += int(np.sum(np.asarray(res_m.num_evals)))
     else:
         marker_all = chamfer_all
@@ -437,12 +561,18 @@ def multimodal_video_mocap(
                     from uuo_mocap_tpu.pipeline.segmentation import filter_rigid
 
                     marker_labels = filter_rigid(markers_np, marker_labels)
+            if iter_journal is not None:
+                stages._marker_solver.snapshot = iter_journal.segment_hook(
+                    f"marker_final_{rep}", _marker_segment_convert
+                )
             with timed("marker_final"):
                 params_b, res_f = stages.marker_stage_batched(
                 markers, weights, params.pose_body, o_betas_j,
                 jax.tree_util.tree_map(lambda x: x[None], params),
                 jax.tree_util.tree_map(lambda x: x[None], attachment),
+                frame_valid=frame_valid_j,
             )
+            stages._marker_solver.snapshot = None
             params = jax.tree_util.tree_map(lambda x: x[0], params_b)
             total_evals += int(np.sum(np.asarray(res_f.num_evals)))
             if iter_journal is not None:

@@ -29,7 +29,7 @@ from uuo_mocap_tpu.body.model import BodyModel
 from uuo_mocap_tpu.ops import rotations as rot
 from uuo_mocap_tpu.ops.chamfer import masked_chamfer_vertex_subset, squared_distance_matrix
 from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume
-from uuo_mocap_tpu.pipeline.stages import SEGMENT_SIZE, SmplParams, _forward, _stage_opts
+from uuo_mocap_tpu.pipeline.stages import SEGMENT_SIZE, SmplParams, _data, _forward, _stage_opts
 from uuo_mocap_tpu.solver import losses as L
 from uuo_mocap_tpu.solver.lbfgs import BatchedLbfgs
 
@@ -87,29 +87,34 @@ class PartFitter:
         model = self.model
 
         def fun(p, lane, shared):
-            """One subtree lane (reference ``markers_utils.py:416-564``)."""
-            vertex_mask = lane["vertex_mask"]
-            markers = shared["markers"]
+            """One subtree lane (reference ``markers_utils.py:416-564``).
+
+            Per-sequence tensors read through the merged lane/shared view so
+            the multi-sequence sweep can lane-batch them (stages._data)."""
+            d = _data(lane, shared)
+            vertex_mask = d["vertex_mask"]
+            markers = d["markers"]
             F = markers.shape[0]
-            z_root = rot.rot_z(jnp.broadcast_to(p["z"], (F, 1, 1))) @ shared["root_orient0"]
-            sp = SmplParams(shared["o_pose_body"], p["betas"], z_root, p["trans"])
+            z_root = rot.rot_z(jnp.broadcast_to(p["z"], (F, 1, 1))) @ d["root_orient0"]
+            sp = SmplParams(d["o_pose_body"], p["betas"], z_root, p["trans"])
             out = _forward(model, sp)
             total = 0.0
             # single-directional chamfer markers -> masked part vertices
             # (reference markers_utils.py:471-476; unweighted there)
             total += losses["chamfer"] * masked_chamfer_vertex_subset(
-                markers, out["vertices"], shared["marker_weights"], vertex_mask, single_directional=True
+                markers, out["vertices"], d["marker_weights"], vertex_mask, single_directional=True
             )
             if "reg_betas" in losses:
-                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+                total += losses["reg_betas"] * L.mse(p["betas"], d["o_betas"])
             if "foot_contact" in losses:
-                total += losses["foot_contact"] * L.foot_contact_loss(out["joints"], shared["foot_contacts"])
+                total += losses["foot_contact"] * L.foot_contact_loss(out["joints"], d["foot_contacts"])
             if "foot_velocity" in losses:
-                total += losses["foot_velocity"] * L.foot_velocity_loss(out["joints"], shared["foot_contacts"])
+                total += losses["foot_velocity"] * L.foot_velocity_loss(out["joints"], d["foot_contacts"])
             if "velocity" in losses:
-                total += losses["velocity"] * L.velocity_loss(p["trans"], jnp.mean(markers, axis=1))
+                total += losses["velocity"] * L.velocity_loss(
+                    p["trans"], jnp.mean(markers, axis=1), d["frame_valid"])
             if "ground" in losses:
-                total += losses["ground"] * L.ground_loss_vertices(out["vertices"])
+                total += losses["ground"] * L.ground_loss_vertices(out["vertices"], d["frame_valid"])
             return total
 
         return BatchedLbfgs(fun, _stage_opts(cfg, "part"), segment_size=SEGMENT_SIZE, lane_chunk=LANE_CHUNK)
@@ -172,6 +177,161 @@ class PartFitter:
 
         return run
 
+    @functools.cached_property
+    def _score_lanes(self):
+        """Per-lane bidirectional chamfer score — every arg lane-batched
+        (multi-sequence form of ``_score_batch``)."""
+        model = self.model
+
+        def score_one(z, betas, trans, vertex_mask, markers, marker_weights, o_pose_body, root_orient0):
+            F = markers.shape[0]
+            z_root = rot.rot_z(jnp.broadcast_to(z, (F, 1, 1))) @ root_orient0
+            sp = SmplParams(o_pose_body, betas, z_root, trans)
+            out = _forward(model, sp)
+            return masked_chamfer_vertex_subset(
+                markers, out["vertices"], marker_weights, vertex_mask, single_directional=False
+            )
+
+        vm = jax.vmap(score_one)
+
+        @jax.jit
+        def run(z_b, betas_b, trans_b, masks, markers_l, weights_l, o_pose_l, root0_l):
+            Ln = masks.shape[0]
+            G = Ln // LANE_CHUNK
+
+            def g(a):
+                return a.reshape((G, LANE_CHUNK) + a.shape[1:])
+
+            out = jax.lax.map(
+                lambda args: vm(*args),
+                (g(z_b), g(betas_b), g(trans_b), g(masks), g(markers_l), g(weights_l), g(o_pose_l), g(root0_l)),
+            )
+            return out.reshape(Ln)
+
+        return run
+
+    def fit_batch(
+        self,
+        markers_b: jnp.ndarray,  # [Q, F, M, 3]
+        marker_weights_b: jnp.ndarray,  # [Q, F, M]
+        o_pose_body_b: jnp.ndarray,  # [Q, F, 23, 3, 3]
+        o_betas_b: jnp.ndarray,  # [Q, 1, 10]
+        root_orient0_b: jnp.ndarray,  # [Q, F, 1, 3, 3]
+        num_rigid_groups: List[int],  # per sequence
+        foot_contacts_b: jnp.ndarray | None = None,  # [Q, F, 2]
+        frame_valid_b: jnp.ndarray | None = None,  # [Q, F]
+    ) -> List[PartFitResult]:
+        """Multi-sequence part fit: Q sequences' subtree searches as ONE
+        lane batch (lane = sequence x candidate subtree), the production
+        form of the reference's doubly sequential loop (outer sweep
+        ``test/test.py:50-147``, inner subtrees ``markers_utils.py:416``).
+
+        Each sequence's subtree set is padded to the common max so all
+        lanes share one program; padding lanes duplicate real subtrees and
+        are deduplicated by the per-sequence argmin.
+        """
+        scfg = self.config["stages"]["part"]
+        Q, F, M, _ = markers_b.shape
+        if foot_contacts_b is None:
+            foot_contacts_b = jnp.zeros((Q, F, 2), markers_b.dtype)
+        if frame_valid_b is None:
+            frame_valid_b = jnp.ones((Q, F), markers_b.dtype)
+
+        per_seq = []
+        for q in range(Q):
+            if scfg.get("use_full_skeleton"):
+                masks_np = np.ones((LANE_CHUNK, self.model.num_vertices), np.float32)
+                subtrees = [list(range(len(self.model.parents)))]
+            else:
+                masks_np, subtrees = enumerate_subtree_masks(
+                    self.model, num_bones=int(num_rigid_groups[q]),
+                    similarity_threshold=scfg.get("similarity_threshold"),
+                )
+            per_seq.append((masks_np, subtrees))
+        S_max = max(m.shape[0] for m, _ in per_seq)
+
+        def pad_masks(m):
+            if m.shape[0] == S_max:
+                return m
+            reps = np.arange(S_max - m.shape[0]) % m.shape[0]
+            return np.concatenate([m, m[reps]], axis=0)
+
+        masks = jnp.asarray(np.stack([pad_masks(m) for m, _ in per_seq]))  # [Q, S_max, V]
+        Ln = Q * S_max
+
+        def lane_rep(x):  # [Q, ...] -> [Q*S_max, ...] (sequence-major)
+            return jnp.repeat(x, S_max, axis=0)
+
+        markers_l = lane_rep(markers_b)
+        weights_l = lane_rep(marker_weights_b)
+        o_pose_l = lane_rep(o_pose_body_b)
+        o_betas_l = lane_rep(o_betas_b)
+        root0_l = lane_rep(root_orient0_b)
+        fv_l = lane_rep(frame_valid_b)
+        fc_l = lane_rep(foot_contacts_b)
+        masks_l = masks.reshape(Ln, -1)
+
+        trans0 = jnp.median(markers_b, axis=2)  # [Q, F, 3]
+        params0 = {
+            "z": jnp.zeros((Ln, 1, 1, 1)),
+            "trans": lane_rep(trans0),
+            "betas": o_betas_l,
+        }
+        lane = {
+            "vertex_mask": masks_l, "markers": markers_l, "marker_weights": weights_l,
+            "o_pose_body": o_pose_l, "o_betas": o_betas_l, "root_orient0": root0_l,
+            "foot_contacts": fc_l, "frame_valid": fv_l,
+        }
+        p_opt, res = self._solver.run(params0, lane, {})
+
+        scores_l = self._score_lanes(
+            p_opt["z"], p_opt["betas"], p_opt["trans"], masks_l,
+            markers_l, weights_l, o_pose_l, root0_l,
+        )
+        scores = np.asarray(scores_l).reshape(Q, S_max)
+        evals = np.asarray(res.num_evals).reshape(Q, S_max)
+
+        best = np.argmin(scores, axis=1)  # [Q]
+        sel = jnp.asarray(np.arange(Q) * S_max + best)
+        relabel_q = jax.jit(jax.vmap(self._relabel))
+        labels_b, best_root_b = relabel_q(
+            markers_b, p_opt["z"][sel], p_opt["betas"][sel], p_opt["trans"][sel],
+            o_pose_body_b, root_orient0_b,
+        )
+
+        results = []
+        for q in range(Q):
+            subtrees = per_seq[q][1]
+            row = scores[q]
+            uniq = np.unique(np.round(row, 12))
+            ratio = float(uniq[1] / uniq[0]) if len(uniq) > 1 else 0.0
+            fitted_cols = np.asarray(jnp.max(marker_weights_b[q], axis=0) > 0)
+            if int(fitted_cols.sum()) == 1:
+                ratio = 0.0
+            weights_out = jnp.broadcast_to(
+                jnp.asarray(fitted_cols, markers_b.dtype)[None, :] * ratio, (F, M)
+            )
+            valid_rows = np.asarray(frame_valid_b[q]) > 0
+            flat = np.asarray(markers_b[q])[valid_rows].reshape(-1, 3)
+            sub = np.asarray(markers_b[q])[valid_rows][:, fitted_cols].reshape(-1, 3)
+            aabb_ratio = get_aabb_volume(get_aabb(jnp.asarray(sub))) / jnp.maximum(
+                get_aabb_volume(get_aabb(jnp.asarray(flat))), 1e-12
+            )
+            results.append(PartFitResult(
+                params=SmplParams(
+                    o_pose_body_b[q], p_opt["betas"][int(sel[q])], best_root_b[q],
+                    p_opt["trans"][int(sel[q])],
+                ),
+                marker_labels=jnp.broadcast_to(labels_b[q][None], (F, M)),
+                marker_weights=weights_out,
+                chain=np.asarray(subtrees[int(best[q]) % len(subtrees)], np.int32),
+                distance=jnp.asarray(row[int(best[q])]),
+                aabb_volume_ratio=aabb_ratio,
+                subtree_losses=jnp.asarray(row),
+                lbfgs_evals=int(evals[q].sum()),
+            ))
+        return results
+
     def __call__(
         self,
         markers: jnp.ndarray,  # [F, M, 3]
@@ -181,6 +341,7 @@ class PartFitter:
         root_orient0: jnp.ndarray,  # [F, 1, 3, 3]
         num_rigid_groups: int,
         foot_contacts: jnp.ndarray | None = None,  # [F, 2]
+        frame_valid: jnp.ndarray | None = None,  # [F] bucket-padding mask
     ) -> PartFitResult:
         scfg = self.config["stages"]["part"]
         F, M, _ = markers.shape
@@ -210,6 +371,7 @@ class PartFitter:
             "markers": markers, "marker_weights": marker_weights,
             "o_pose_body": o_pose_body, "o_betas": o_betas,
             "root_orient0": root_orient0, "foot_contacts": foot_contacts,
+            "frame_valid": jnp.ones(F) if frame_valid is None else frame_valid,
         }
         p_opt, res = self._solver.run(params0, lane, shared)
 
@@ -228,15 +390,30 @@ class PartFitter:
         )
         marker_labels = jnp.broadcast_to(labels[None], (F, M))
 
-        # confidence: 2nd-best / best score ratio (reference :612-617)
+        # confidence: 2nd-best / best subtree score, UNnormalized (the
+        # reference normalizes by the max across all fitted chains at the end,
+        # markers_utils.py:612-630 — the caller does that; with one chain the
+        # two agree).  Zero when the chain covers a single marker (:618-619).
         uniq = np.unique(np.round(scores, 12))
         ratio = float(uniq[1] / uniq[0]) if len(uniq) > 1 else 0.0
-        weights_out = jnp.full((F, M), ratio, markers.dtype)
-        weights_out = weights_out / jnp.maximum(jnp.max(weights_out), 1e-12)
+        fitted_cols = np.asarray(jnp.max(marker_weights, axis=0) > 0)  # [M]
+        if int(fitted_cols.sum()) == 1:
+            ratio = 0.0
+        weights_out = jnp.asarray(fitted_cols, markers.dtype)[None, :] * ratio
+        weights_out = jnp.broadcast_to(weights_out, (F, M))
 
-        aabb_ratio = get_aabb_volume(get_aabb(markers.reshape(-1, 3))) / jnp.maximum(
-            get_aabb_volume(get_aabb(markers.reshape(-1, 3))), 1e-12
-        )  # cluster mode fits all markers -> ratio 1 (subset == full)
+        # AABB volume of the fitted marker subset vs all markers (reference
+        # markers_utils.py:590: markers_subset AABB / full AABB); the subset
+        # is the columns with nonzero fit weight (all of them in cluster mode).
+        # Bucket-padding frames (zeroed markers) are excluded from both.
+        valid_rows = (
+            np.asarray(frame_valid) > 0 if frame_valid is not None else np.ones(F, bool)
+        )
+        flat = np.asarray(markers)[valid_rows].reshape(-1, 3)
+        sub = np.asarray(markers)[valid_rows][:, fitted_cols].reshape(-1, 3)
+        aabb_ratio = get_aabb_volume(get_aabb(jnp.asarray(sub))) / jnp.maximum(
+            get_aabb_volume(get_aabb(jnp.asarray(flat))), 1e-12
+        )
 
         return PartFitResult(
             params=SmplParams(o_pose_body, p_opt["betas"][best], best_root, p_opt["trans"][best]),

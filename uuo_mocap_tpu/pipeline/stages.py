@@ -82,6 +82,15 @@ def _stage_opts(config: Dict[str, Any], stage: str, lr_default: float = 1.0,
     )
 
 
+def _data(lane, shared):
+    """Merge lane/shared views: a tensor may arrive lane-batched (multi-
+    sequence solve: every sequence is a lane) or broadcast (single-sequence
+    solve: one copy shared by all hypothesis lanes).  Lane wins."""
+    d = dict(shared)
+    d.update(lane)
+    return d
+
+
 def _forward(model, params: SmplParams):
     F = params.trans.shape[0]
     betas = jnp.broadcast_to(params.betas, (F, 10))
@@ -134,34 +143,37 @@ class SolveStages:
         self._root_apply = apply_root
 
         def fun(p, lane, shared):
-            root_orient0 = lane["root_orient0"]
+            d = _data(lane, shared)
+            root_orient0 = d["root_orient0"]
             z_root = apply_root(p["z"], root_orient0)
-            sp = SmplParams(shared["o_pose_body"], p["betas"], z_root, p["trans"])
+            sp = SmplParams(d["o_pose_body"], p["betas"], z_root, p["trans"])
             out = _forward(model, sp)
             total = 0.0
             if "part_chamfer" in losses:
                 total += losses["part_chamfer"] * L.part_chamfer_loss(
-                    shared["markers"], out["vertices"], shared["marker_labels_mode"],
+                    d["markers"], out["vertices"], d["marker_labels_mode"],
                     vertex_labels, part_ids, single_dir,
                 )
             if "full_chamfer" in losses:
                 total += losses["full_chamfer"] * L.full_chamfer_loss(
-                    shared["markers"], out["vertices"], shared["weights"], single_dir
+                    d["markers"], out["vertices"], d["weights"], single_dir
                 )
             if "root_orient_vel" in losses:
-                total += losses["root_orient_vel"] * L.root_orient_vel_loss(z_root, root_orient0)
+                total += losses["root_orient_vel"] * L.root_orient_vel_loss(
+                    z_root, root_orient0, d["frame_valid"])
             if "trans_vel" in losses:
-                total += losses["trans_vel"] * L.trans_vel_loss(p["trans"], shared["markers"])
+                total += losses["trans_vel"] * L.trans_vel_loss(
+                    p["trans"], d["markers"], d["frame_valid"])
             if "reg_betas" in losses:
-                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+                total += losses["reg_betas"] * L.mse(p["betas"], d["o_betas"])
             if "ground" in losses:
-                total += losses["ground"] * L.ground_loss_joints(out["joints"])
+                total += losses["ground"] * L.ground_loss_joints(out["joints"], d["frame_valid"])
             return total
 
         return BatchedLbfgs(fun, _stage_opts(cfg, "root"), segment_size=SEGMENT_SIZE)
 
     def root_stage(self, markers, weights, o_pose_body, betas0, root_orient0, trans0,
-                   marker_labels_mode, o_betas):
+                   marker_labels_mode, o_betas, frame_valid=None):
         """Optimize {trans, yaw, betas}, pose fixed (reference ``optim_root``)."""
         F = trans0.shape[0]
         scfg = self.config["stages"]["root"]
@@ -176,6 +188,7 @@ class SolveStages:
         shared = {
             "markers": markers, "weights": weights, "o_pose_body": o_pose_body,
             "o_betas": o_betas, "marker_labels_mode": marker_labels_mode,
+            "frame_valid": jnp.ones(F) if frame_valid is None else frame_valid,
         }
         p_opt, res = self._root_solver.run(params0, lane, shared)
         z_root = self._root_apply(p_opt["z"][0], root_orient0)
@@ -201,7 +214,8 @@ class SolveStages:
         self._chamfer_apply = apply_root
 
         def fun(p, lane, shared):
-            root_orient0 = lane["root_orient0"]
+            d = _data(lane, shared)
+            root_orient0 = d["root_orient0"]
             z_root = apply_root(p["z"], root_orient0)
             pose = rot.rotation_6d_to_matrix(p["pose6d"])
             sp = SmplParams(pose, p["betas"], z_root, p["trans"])
@@ -209,30 +223,33 @@ class SolveStages:
             total = 0.0
             if "part_chamfer" in losses:
                 total += losses["part_chamfer"] * L.part_chamfer_loss(
-                    shared["markers"], out["vertices"], shared["marker_labels_mode"],
+                    d["markers"], out["vertices"], d["marker_labels_mode"],
                     vertex_labels, part_ids, single_dir,
                 )
             if "full_chamfer" in losses:
                 total += losses["full_chamfer"] * L.full_chamfer_loss(
-                    shared["markers"], out["vertices"], shared["weights"], single_dir
+                    d["markers"], out["vertices"], d["weights"], single_dir
                 )
             if "root_orient_vel" in losses:
-                total += losses["root_orient_vel"] * L.root_orient_vel_loss(z_root, root_orient0)
+                total += losses["root_orient_vel"] * L.root_orient_vel_loss(
+                    z_root, root_orient0, d["frame_valid"])
             if "reg_pose_body" in losses:
-                total += losses["reg_pose_body"] * L.mse(pose, shared["o_pose_body"])
+                total += losses["reg_pose_body"] * L.mse(pose, d["o_pose_body"])
             if "trans_vel" in losses:
-                total += losses["trans_vel"] * L.trans_vel_loss(p["trans"], shared["markers"])
+                total += losses["trans_vel"] * L.trans_vel_loss(
+                    p["trans"], d["markers"], d["frame_valid"])
             if "ground" in losses:
-                total += losses["ground"] * L.ground_loss_joints(out["joints"])
+                total += losses["ground"] * L.ground_loss_joints(out["joints"], d["frame_valid"])
             if "reg_betas" in losses:
-                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+                total += losses["reg_betas"] * L.mse(p["betas"], d["o_betas"])
             return total
 
         # the reference hard-codes lr=0.1 for this stage (optimization.py:181)
         return BatchedLbfgs(fun, _stage_opts(cfg, "chamfer", lr_override=0.1), segment_size=SEGMENT_SIZE)
 
     def chamfer_stage_batched(self, markers, weights, o_pose_body, o_betas,
-                              pose0, betas0, root0_batch, trans0, marker_labels_mode):
+                              pose0, betas0, root0_batch, trans0, marker_labels_mode,
+                              frame_valid=None):
         """All A yaw hypotheses at once: optimize {trans, yaw, betas, pose}
         per lane (reference ``optim_chamfer`` over its sequential angle loop).
 
@@ -254,6 +271,7 @@ class SolveStages:
         shared = {
             "markers": markers, "weights": weights, "o_pose_body": o_pose_body,
             "o_betas": o_betas, "marker_labels_mode": marker_labels_mode,
+            "frame_valid": jnp.ones(F) if frame_valid is None else frame_valid,
         }
         p_opt, res = self._chamfer_solver.run(params0, lane, shared)
         post = jax.jit(jax.vmap(lambda p, r0: SmplParams(
@@ -373,7 +391,8 @@ class SolveStages:
         model = self.model
 
         def fun(p, lane, shared):
-            attachment = MarkerAttachment(lane["att_ids"], lane["att_w"])
+            d = _data(lane, shared)
+            attachment = MarkerAttachment(d["att_ids"], d["att_w"])
             pose = rot.rotation_6d_to_matrix(p["pose6d"])
             root = rot.rotation_6d_to_matrix(p["root6d"])
             sp = SmplParams(pose, p["betas"], root, p["trans"])
@@ -381,13 +400,13 @@ class SolveStages:
             virtual = virtual_markers_from_attachment(out["vertices"], attachment)
             total = 0.0
             if "marker" in losses:
-                total += losses["marker"] * L.marker_loss(shared["markers"], virtual, shared["weights"])
+                total += losses["marker"] * L.marker_loss(d["markers"], virtual, d["weights"])
             if "reg_pose_body" in losses:
-                total += losses["reg_pose_body"] * L.mse(pose, shared["o_pose_body"])
+                total += losses["reg_pose_body"] * L.mse(pose, d["o_pose_body"])
             if "reg_betas" in losses:
-                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+                total += losses["reg_betas"] * L.mse(p["betas"], d["o_betas"])
             if "temporal" in losses:
-                total += losses["temporal"] * L.temporal_loss(pose)
+                total += losses["temporal"] * L.temporal_loss(pose, d["frame_valid"])
             return total
 
         return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE)
@@ -426,7 +445,8 @@ class SolveStages:
         return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE)
 
     def marker_stage_sdf(self, markers, weights, o_pose_body, o_betas,
-                         params_batch: SmplParams, attachments: MarkerAttachment):
+                         params_batch: SmplParams, attachments: MarkerAttachment,
+                         frame_valid=None):
         """SDF-mode marker IK: seed virtual points from the attachments on
         the template and co-optimize them with the body parameters."""
         solver = self._marker_solver_sdf
@@ -447,7 +467,8 @@ class SolveStages:
         params0 = dict(to6d(params_batch))
         params0["virtual_points"] = virtual0
         shared = {"markers": markers, "weights": weights,
-                  "o_pose_body": o_pose_body, "o_betas": o_betas}
+                  "o_pose_body": o_pose_body, "o_betas": o_betas,
+                  "frame_valid": jnp.ones(markers.shape[0]) if frame_valid is None else frame_valid}
         lane = {"_": jnp.zeros((A, 1))}
         p_opt, res = solver.run(params0, lane, shared)
         post = jax.jit(jax.vmap(lambda p: SmplParams(
@@ -457,7 +478,8 @@ class SolveStages:
         return post(p_opt), res
 
     def marker_stage_batched(self, markers, weights, o_pose_body, o_betas,
-                             params_batch: SmplParams, attachments: MarkerAttachment):
+                             params_batch: SmplParams, attachments: MarkerAttachment,
+                             frame_valid=None):
         """Marker IK for all A hypotheses: optimize {pose, betas, root, trans}
         against per-lane virtual markers (reference ``optim_markers``).
 
@@ -465,7 +487,8 @@ class SolveStages:
         params_batch has leading A axis; attachments batched likewise."""
         if self.config["stages"]["marker"].get("use_sdf"):
             return self.marker_stage_sdf(
-                markers, weights, o_pose_body, o_betas, params_batch, attachments
+                markers, weights, o_pose_body, o_betas, params_batch, attachments,
+                frame_valid=frame_valid,
             )
         to6d = jax.jit(jax.vmap(lambda sp: {
             "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
@@ -478,6 +501,7 @@ class SolveStages:
         shared = {
             "markers": markers, "weights": weights,
             "o_pose_body": o_pose_body, "o_betas": o_betas,
+            "frame_valid": jnp.ones(markers.shape[0]) if frame_valid is None else frame_valid,
         }
         p_opt, res = self._marker_solver.run(params0, lane, shared)
         post = jax.jit(jax.vmap(lambda p: SmplParams(
@@ -485,6 +509,109 @@ class SolveStages:
             rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
         )))
         return post(p_opt), res
+
+    # ---------------------------------------------------- multi-sequence lanes
+    # The same BatchedLbfgs instances serve the multi-sequence sweep: every
+    # per-sequence tensor moves from ``shared`` into ``lane`` (the loss funs
+    # read through the merged view), so S sequences x A hypotheses become
+    # S*A independent lanes of the SAME stage programs.  This is the
+    # production form of the reference's sequential sweep
+    # (``test/test.py:50-147``) per SURVEY.md §2.8.
+
+    def root_stage_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
+                         betas0_l, root0_l, trans0_l, labels_l, frame_valid_l):
+        """Per-lane root optimization (multi-sequence form of ``root_stage``)."""
+        Ln, F = root0_l.shape[0], root0_l.shape[1]
+        scfg = self.config["stages"]["root"]
+        solver = self._root_solver  # also binds self._root_apply
+        if scfg.get("constrained_rotation", False):
+            z0 = jnp.zeros((Ln, 1, 1, 1))
+        elif scfg.get("yaw_lock", True):
+            z0 = jnp.zeros((Ln, F, 1, 1))
+        else:
+            z0 = jnp.broadcast_to(
+                rot.matrix_to_rotation_6d(jnp.broadcast_to(jnp.eye(3), (F, 1, 3, 3)))[None],
+                (Ln, F, 1, 6),
+            )
+        params0 = {"trans": trans0_l, "z": z0, "betas": betas0_l}
+        lane = {
+            "root_orient0": root0_l, "markers": markers_l, "weights": weights_l,
+            "o_pose_body": o_pose_l, "o_betas": o_betas_l,
+            "marker_labels_mode": labels_l, "frame_valid": frame_valid_l,
+        }
+        p_opt, res = solver.run(params0, lane, {})
+        post = jax.jit(jax.vmap(lambda p, r0, op: SmplParams(
+            op, p["betas"], self._root_apply(p["z"], r0), p["trans"],
+        )))
+        return post(p_opt, root0_l, o_pose_l), res
+
+    def chamfer_stage_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
+                            pose0_l, betas0_l, root0_l, trans0_l, labels_l,
+                            frame_valid_l):
+        """Per-lane chamfer stage: every arg carries a leading lane axis
+        (lane = sequence x yaw hypothesis)."""
+        Ln, F = root0_l.shape[0], root0_l.shape[1]
+        scfg = self.config["stages"]["chamfer"]
+        solver = self._chamfer_solver  # binds self._chamfer_apply
+        pose6d0 = rot.matrix_to_rotation_6d(pose0_l)
+        if scfg.get("yaw_lock", True):
+            z0 = jnp.zeros((Ln, F, 1, 1))
+        else:
+            z0 = jnp.broadcast_to(
+                rot.matrix_to_rotation_6d(jnp.broadcast_to(jnp.eye(3), (F, 1, 3, 3)))[None],
+                (Ln, F, 1, 6),
+            )
+        params0 = {"trans": trans0_l, "z": z0, "betas": betas0_l, "pose6d": pose6d0}
+        lane = {
+            "root_orient0": root0_l, "markers": markers_l, "weights": weights_l,
+            "o_pose_body": o_pose_l, "o_betas": o_betas_l,
+            "marker_labels_mode": labels_l, "frame_valid": frame_valid_l,
+        }
+        p_opt, res = solver.run(params0, lane, {})
+        post = jax.jit(jax.vmap(lambda p, r0: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            self._chamfer_apply(p["z"], r0), p["trans"],
+        )))
+        return post(p_opt, root0_l), res
+
+    def marker_stage_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
+                           params_l: SmplParams, attachments_l: MarkerAttachment,
+                           frame_valid_l):
+        """Per-lane marker IK (multi-sequence form of ``marker_stage_batched``)."""
+        to6d = jax.jit(jax.vmap(lambda sp: {
+            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
+            "betas": sp.betas,
+            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
+            "trans": sp.trans,
+        }))
+        params0 = to6d(params_l)
+        lane = {
+            "att_ids": attachments_l.vertex_ids, "att_w": attachments_l.weights,
+            "markers": markers_l, "weights": weights_l,
+            "o_pose_body": o_pose_l, "o_betas": o_betas_l,
+            "frame_valid": frame_valid_l,
+        }
+        p_opt, res = self._marker_solver.run(params0, lane, {})
+        post = jax.jit(jax.vmap(lambda p: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
+        )))
+        return post(p_opt), res
+
+    @functools.cached_property
+    def nearest_points_lanes(self):
+        run = self.nearest_points
+        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0)))
+
+    @functools.cached_property
+    def nearest_points_lanes_nolabel(self):
+        run = self.nearest_points
+        return jax.jit(jax.vmap(lambda m, p, im: run(m, p, im, None), in_axes=(0, 0, 0)))
+
+    @functools.cached_property
+    def score_chamfer_lanes(self):
+        run = self.score_chamfer
+        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0)))
 
     # ------------------------------------------------------------ selection
     @functools.cached_property

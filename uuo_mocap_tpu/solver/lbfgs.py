@@ -437,14 +437,34 @@ class BatchedLbfgs:
     This is the TPU-native replacement for the reference's sequential
     per-hypothesis / per-subtree optimizer loops; build ONCE per stage so
     the init/segment programs stay in the jit cache across sequences.
+
+    ``repack`` (default on): between segments, converged lanes are retired
+    to host buffers and the live lanes compacted into the next smaller
+    shape bucket (halvings of the initial lane count, lane_chunk-aligned),
+    so finished lanes stop consuming closure evaluations.  Lanes are
+    independent minimizations, so repacking never changes any lane's
+    result — it only removes the lockstep ride-along cost.  Each bucket
+    shape is one extra XLA compile, cached persistently.
     """
 
     def __init__(self, fun, opts: LbfgsOptions, segment_size: int = 100,
-                 lane_chunk: int | None = None):
+                 lane_chunk: int | None = None, repack: bool = True):
         self.fun = fun
         self.opts = opts
         self.segment_size = segment_size
         self.lane_chunk = lane_chunk
+        self.repack = repack
+        # optional pytree placer (e.g. NamedSharding over a mesh 'data' axis)
+        # applied to the optimizer state + lane args at init and after every
+        # repack compaction, so lanes stay sharded across devices
+        self.reshard = None
+        # optional per-segment observer: snapshot(global_lane_idx, n_iter,
+        # params_pytree) called after every segment with the CURRENT
+        # parameters of the still-resident lanes.  The segmented host loop
+        # already syncs per segment, so this is the natural bounded-rate
+        # analog of the reference's per-iteration ``iter_fn`` protocol
+        # (``multimodal.py:102-142``) with no extra device round-trips.
+        self.snapshot = None
         self._built = {}  # shape-signature -> (init_fn, seg_fn, unravel)
 
     def _build(self, params_single):
@@ -487,39 +507,108 @@ class BatchedLbfgs:
 
             return jax.jit(grouped(vmap_init)), jax.jit(grouped(vmap_seg)), unravel
 
+    def _bucket(self, n_live: int, cur: int) -> int:
+        """Smallest halving of ``cur`` (lane_chunk-aligned, >= 1 chunk) that
+        still fits the live lanes.  Halvings only — each bucket is one extra
+        compile, and halving bounds the total at log2(L)."""
+        unit = self.lane_chunk or 1
+        b = cur
+        while b // 2 >= max(n_live, unit) and (b // 2) % unit == 0:
+            b //= 2
+        return b
+
     def run(self, params0_batch, lane_args, shared) -> Tuple[object, LbfgsResult]:
         import numpy as _np
 
         key = tuple(
             (str(p), a.shape, str(a.dtype))
             for p, a in jax.tree_util.tree_flatten_with_path(params0_batch)[0]
+        ) + tuple(
+            (str(p), a.shape, str(a.dtype))
+            for p, a in jax.tree_util.tree_flatten_with_path(lane_args)[0]
         )
         if key not in self._built:
             self._built[key] = self._build(jax.tree_util.tree_map(lambda a: a[0], params0_batch))
         init_fn, seg_fn, unravel = self._built[key]
-        if self.lane_chunk is not None:
-            L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
-            if L % self.lane_chunk != 0:
-                raise ValueError(f"lanes {L} not a multiple of lane_chunk {self.lane_chunk}")
+        L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
+        if self.lane_chunk is not None and L % self.lane_chunk != 0:
+            raise ValueError(f"lanes {L} not a multiple of lane_chunk {self.lane_chunk}")
 
         import os as _os
         import time as _time
 
         debug = _os.environ.get("UUO_DEBUG_LBFGS")
+        if self.reshard is not None:
+            params0_batch = self.reshard(params0_batch)
+            lane_args = self.reshard(lane_args)
         state = init_fn(params0_batch, lane_args, shared)
+        if self.reshard is not None:
+            state = self.reshard(state)
+
+        # host-side result buffers, filled as lanes retire
+        out = {f: None for f in ("x", "f", "g", "n_iter", "n_evals")}
+        written = _np.zeros(L, bool)
+
+        def stash(state_rows_np, local_rows, global_rows):
+            for name in out:
+                col = state_rows_np[name]
+                if out[name] is None:
+                    out[name] = _np.zeros((L,) + col.shape[1:], col.dtype)
+                out[name][global_rows] = col[local_rows]
+            written[global_rows] = True
+
+        idx = _np.arange(L)  # state row i solves global lane idx[i]
+        cur_lane_args = lane_args
         while True:
             t0 = _time.time()
-            state = seg_fn(state, lane_args, shared)
+            state = seg_fn(state, cur_lane_args, shared)
             done = _np.asarray(state.done)
             iters = _np.asarray(state.n_iter)
             finished = done | (iters >= self.opts.max_iter)  # per-lane OR!
+            if self.snapshot is not None:
+                params_np = jax.tree_util.tree_map(
+                    _np.asarray, jax.vmap(unravel)(state.x)
+                )
+                self.snapshot(idx.copy(), iters.copy(), params_np)
             if debug:
                 print(
-                    f"[lbfgs] segment {_time.time() - t0:.1f}s  iters {iters.min()}-{iters.max()}"
+                    f"[lbfgs] segment {_time.time() - t0:.1f}s  lanes {len(idx)}"
+                    f"  iters {iters.min()}-{iters.max()}"
                     f"  finished {int(finished.sum())}/{finished.size}", flush=True,
                 )
             if finished.all():
+                state_np = {f: _np.asarray(getattr(state, f)) for f in out}
+                rows = _np.arange(len(idx))
+                stash(state_np, rows, idx)
                 break
 
-        params_out = jax.vmap(unravel)(state.x)
-        return params_out, _result(state)
+            if self.repack:
+                live = _np.where(~finished)[0]
+                bucket = self._bucket(len(live), len(idx))
+                if bucket < len(idx):
+                    # retire finished rows to host, compact live rows (+ pad
+                    # by duplicating live rows — duplicates evolve
+                    # identically and are simply overwritten at stash time)
+                    fin = _np.where(finished)[0]
+                    state_np = {f: _np.asarray(getattr(state, f)) for f in out}
+                    stash(state_np, fin, idx[fin])
+                    sel = _np.concatenate([live, live[_np.arange(bucket - len(live)) % len(live)]])
+                    sel_j = jnp.asarray(sel)
+                    state = jax.tree_util.tree_map(lambda a: a[sel_j], state)
+                    cur_lane_args = jax.tree_util.tree_map(lambda a: a[sel_j], cur_lane_args)
+                    if self.reshard is not None:
+                        state = self.reshard(state)
+                        cur_lane_args = self.reshard(cur_lane_args)
+                    idx = idx[sel]
+
+        assert written.all()
+        x_all = jnp.asarray(out["x"])
+        params_out = jax.vmap(unravel)(x_all)
+        result = LbfgsResult(
+            x=x_all,
+            f=jnp.asarray(out["f"]),
+            grad_norm=jnp.max(jnp.abs(jnp.asarray(out["g"])), axis=-1),
+            num_iters=jnp.asarray(out["n_iter"]),
+            num_evals=jnp.asarray(out["n_evals"]),
+        )
+        return params_out, result

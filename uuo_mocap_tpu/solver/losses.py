@@ -43,32 +43,57 @@ def marker_loss(markers, virtual_markers, marker_weights, marker_distance=MARKER
     return jnp.mean(((dist - marker_distance) ** 2) * marker_weights)
 
 
-def trans_vel_loss(trans, markers):
+def _vel_mask(frame_valid):
+    """[F] validity -> [F-1] velocity-pair validity (both frames real)."""
+    return frame_valid[1:] * frame_valid[:-1]
+
+
+def _masked_mean(values, mask):
+    """Mean of ``values`` over entries where mask>0; mask broadcasts from the
+    leading (frame) axis.  Matches the reference's plain mean when every
+    frame is real (mask all-ones)."""
+    mask = jnp.broadcast_to(mask.reshape(mask.shape + (1,) * (values.ndim - mask.ndim)), values.shape)
+    return jnp.sum(values * mask) / jnp.maximum(jnp.sum(mask), 1e-12)
+
+
+def trans_vel_loss(trans, markers, frame_valid=None):
     """Match translation velocity to marker-centroid velocity
-    (reference ``optimization.py:106-110``)."""
+    (reference ``optimization.py:106-110``).  ``frame_valid`` [F] excludes
+    bucket-padding frames (zeroed markers would otherwise create a huge
+    spurious centroid-velocity target at the pad boundary)."""
     trans_vel = trans[1:] - trans[:-1]
     markers_mean = jnp.mean(markers, axis=1)
     markers_vel = markers_mean[1:] - markers_mean[:-1]
-    return mse(trans_vel, markers_vel)
+    if frame_valid is None:
+        return mse(trans_vel, markers_vel)
+    return _masked_mean((trans_vel - markers_vel) ** 2, _vel_mask(frame_valid))
 
 
-def root_orient_vel_loss(z_root_orient, root_orient):
+def root_orient_vel_loss(z_root_orient, root_orient, frame_valid=None):
     """Match frame-to-frame root angular speed before/after the yaw offset
     (reference ``optimization.py:68-75,104-105``)."""
     vel_ref = rot.so3_relative_angle(root_orient[1:, 0], root_orient[:-1, 0])
     vel_new = rot.so3_relative_angle(z_root_orient[1:, 0], z_root_orient[:-1, 0])
-    return mse(vel_new, vel_ref)
+    if frame_valid is None:
+        return mse(vel_new, vel_ref)
+    return _masked_mean((vel_new - vel_ref) ** 2, _vel_mask(frame_valid))
 
 
-def ground_loss_joints(joints):
+def ground_loss_joints(joints, frame_valid=None):
     """Penalize joints below the z=0 ground plane (reference
     ``optimization.py:115-117``)."""
-    return jnp.mean(jax.nn.relu(-joints[..., 2]))
+    per = jax.nn.relu(-joints[..., 2])
+    if frame_valid is None:
+        return jnp.mean(per)
+    return _masked_mean(per, frame_valid)
 
 
-def ground_loss_vertices(vertices):
+def ground_loss_vertices(vertices, frame_valid=None):
     """Vertex variant used by the part stage (``markers_utils.py:539-542``)."""
-    return jnp.mean(jax.nn.relu(-vertices[..., 2]))
+    per = jax.nn.relu(-vertices[..., 2])
+    if frame_valid is None:
+        return jnp.mean(per)
+    return _masked_mean(per, frame_valid)
 
 
 def foot_contact_loss(joints, foot_contacts, left_foot_id=10, right_foot_id=11, target_height=0.005):
@@ -87,15 +112,17 @@ def foot_velocity_loss(joints, foot_contacts, left_foot_id=10, right_foot_id=11)
     return jnp.mean((speed**2) * foot_contacts[1:])
 
 
-def velocity_loss(trans, markers_subset_mean):
+def velocity_loss(trans, markers_subset_mean, frame_valid=None):
     """Part-stage translation/marker-centroid velocity match
     (reference ``markers_utils.py:533-536``)."""
     trans_vel = trans[1:] - trans[:-1]
     m_vel = markers_subset_mean[1:] - markers_subset_mean[:-1]
-    return mse(trans_vel, m_vel)
+    if frame_valid is None:
+        return mse(trans_vel, m_vel)
+    return _masked_mean((trans_vel - m_vel) ** 2, _vel_mask(frame_valid))
 
 
-def temporal_loss(pose_body):
+def temporal_loss(pose_body, frame_valid=None):
     """Second-difference smoothness on pose (reference
     ``optimization.py:368-374``; note the reference's expression is
     t0 - 2*t1 - t2, reproduced verbatim)."""
@@ -103,7 +130,10 @@ def temporal_loss(pose_body):
     t1 = pose_body[1:-1]
     t2 = pose_body[0:-2]
     vel = t0 - (2 * t1) - t2
-    return jnp.mean(vel**2)
+    if frame_valid is None:
+        return jnp.mean(vel**2)
+    triple = frame_valid[2:] * frame_valid[1:-1] * frame_valid[:-2]
+    return _masked_mean(vel**2, triple)
 
 
 def weighted_mse(input, target, weights):

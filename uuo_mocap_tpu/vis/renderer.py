@@ -121,10 +121,54 @@ class VideoMocapRenderer:
             ax.scatter(p[:, 0], p[:, 1], p[:, 2], c=np.atleast_2d(pts["colors"]),
                        s=pts["size"], depthshade=False, zorder=4)
 
-    def run(self) -> Optional[str]:
+    def run_interactive(self) -> bool:
+        """Interactive viewer (reference ``vis/renderer.py:79-91``): pyrender
+        window when OpenGL exists, else an interactive matplotlib animation
+        when a display exists.  Returns False on headless machines so callers
+        can fall back to ``run()``."""
+        from uuo_mocap_tpu.vis.viewer_pyrender import pyrender_available, run_viewer
+
+        if pyrender_available():
+            run_viewer(self.scene, self.render_frame_fn, self.num_frames, fps=self.video_fps)
+            return True
+
+        import matplotlib
+
+        if not os.environ.get("DISPLAY") and not os.environ.get("WAYLAND_DISPLAY"):
+            return False
+        try:
+            matplotlib.use("TkAgg")
+        except Exception:
+            return False
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+
+        fig = plt.figure(figsize=(self.figsize, self.figsize), dpi=self.dpi)
+        ax = fig.add_subplot(111, projection="3d")
+
+        def update(frame):
+            self._draw(ax, frame % max(self.num_frames, 1))
+            return []
+
+        anim = animation.FuncAnimation(  # noqa: F841 — must stay referenced
+            fig, update, frames=self.num_frames, interval=1000.0 / self.video_fps, blit=False
+        )
+        plt.show()
+        return True
+
+    def run(self, interactive: bool = False) -> Optional[str]:
         """Render all frames.  Writes ``video_path`` (mp4/gif/png dir) and
-        returns the path; with no path, renders the first frame to a temp png
-        (headless stand-in for the interactive viewer)."""
+        returns the path; with no path, renders the first frame to a preview
+        png.  ``interactive=True`` opens the live viewer first (pyrender or
+        an interactive matplotlib window) and only falls back to files when
+        the machine is headless."""
+        if interactive:
+            try:
+                if self.run_interactive():
+                    return None
+            except Exception as e:
+                print(f"[viewer] interactive backend failed ({e}); writing files instead")
+
         import matplotlib
 
         matplotlib.use("Agg")

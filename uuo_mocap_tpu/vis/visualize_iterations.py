@@ -18,6 +18,10 @@ def main(argv=None):
     parser.add_argument("--markers", type=str, default=None, help=".c3d for context")
     parser.add_argument("--out_dir", type=str, default="render_iterations")
     parser.add_argument("--frame", type=int, default=0, help="frame to render per stage")
+    parser.add_argument("--lane", type=int, default=0,
+                        help="hypothesis lane to follow through __segments entries")
+    parser.add_argument("--gif", action="store_true",
+                        help="assemble per-stage replay gifs from the segment snapshots")
     parser.add_argument("--body_models", type=str, default="./body_models")
     args = parser.parse_args(argv)
 
@@ -56,10 +60,17 @@ def main(argv=None):
             timeline.append((rec.get("t", 0.0), stage, ri, rec))
     timeline.sort()
 
+    stage_pngs = {}
     for t, stage, ri, rec in timeline:
         params = rec.get("params")
         if params is None:
             continue
+        if "lanes" in rec:  # per-segment snapshot: pick the requested lane
+            lanes = np.asarray(rec["lanes"])
+            pos = np.where(lanes == args.lane)[0]
+            if pos.size == 0:
+                continue  # lane already retired (converged) this segment
+            params = {k: np.asarray(v)[int(pos[0])] for k, v in params.items()}
         pose = jnp.asarray(params["pose_body"])
         F = pose.shape[0]
         out = lbs_forward(
@@ -80,7 +91,23 @@ def main(argv=None):
         path = os.path.join(args.out_dir, f"{t:08.2f}_{stage}_{ri}.png")
         VideoMocapRenderer(scene, render_frame, 1, None).run()
         os.replace(os.path.join(os.getcwd(), "render_preview.png"), path)
+        stage_pngs.setdefault(stage, []).append(path)
         print("wrote", path)
+
+    if args.gif:
+        # assemble the within-stage evolution into replay gifs (the
+        # reference's visualize_iterations replays per-iteration dumps;
+        # ours replays per-segment snapshots)
+        from PIL import Image
+
+        for stage, paths in stage_pngs.items():
+            if len(paths) < 2:
+                continue
+            frames = [Image.open(p) for p in paths]
+            gif_path = os.path.join(args.out_dir, f"replay_{stage}.gif")
+            frames[0].save(gif_path, save_all=True, append_images=frames[1:],
+                           duration=350, loop=0)
+            print("wrote", gif_path)
 
     # hypothesis-score plot if recorded
     for stage, records in entries.items():

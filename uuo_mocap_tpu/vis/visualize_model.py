@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--sequence", required=True)
     parser.add_argument("--camera", type=str, default=None)
     parser.add_argument("--video", type=str, default=None)
+    parser.add_argument("--viewer", action="store_true",
+                        help="open the interactive viewer (pyrender/matplotlib) "
+                             "instead of writing files; headless falls back")
     parser.add_argument("--body_models", type=str, default="./body_models")
     parser.add_argument("--show_hmr", action="store_true", help="render the HMR prior body too")
     parser.add_argument("--marker_swap", type=float, default=0.0)
@@ -137,7 +140,9 @@ def main(argv=None):
             s.add_mesh(hmr_verts[frame], model.faces, color=(0.9, 0.7, 0.4), name="hmr")
         s.add_markers(pts[frame], labels=labels_m[min(frame, labels_m.shape[0] - 1)])
 
-    path = VideoMocapRenderer(scene, render_frame, F, args.video, markers.get_frequency()).run()
+    path = VideoMocapRenderer(
+        scene, render_frame, F, args.video, markers.get_frequency()
+    ).run(interactive=args.viewer)
     print("wrote", path)
 
 
