@@ -41,7 +41,11 @@ PROXY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_
 
 F_FRAMES = 450
 N_MARKERS = 41
-BATCH = 8  # sequences solved as one sweep
+# sequences per sweep: 8-sequence (32-lane) programs crash the TPU worker
+# on this tunnel (repeatable "worker crashed" in the first chamfer segment;
+# 4-lane and 8-lane programs run fine) — 4 sequences x 4 hypotheses = 16
+# lanes is the largest validated batch on this chip
+BATCH = 4
 GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
 
 

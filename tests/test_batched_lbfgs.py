@@ -59,10 +59,17 @@ def test_lane_chunking_matches_unchunked():
     np.testing.assert_allclose(np.asarray(pa["x"]), np.asarray(pb["x"]), atol=1e-5)
 
 
-def test_lane_chunk_mismatch_raises():
-    solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=5), segment_size=5, lane_chunk=4)
-    with pytest.raises(ValueError):
-        solver.run({"x": jnp.zeros((6, 3))}, {"target": jnp.zeros((6, 3))}, {"bias": jnp.asarray(0.0)})
+def test_lane_chunk_mismatch_falls_back_ungrouped():
+    """Lane counts that don't divide lane_chunk run ungrouped (one vmap)
+    instead of erroring — the chunk is a memory bound, not a contract."""
+    solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=50), segment_size=10, lane_chunk=4)
+    p_opt, res = solver.run(
+        {"x": jnp.zeros((6, 3))},
+        {"target": jnp.ones((6, 3)) * 0.3},
+        {"bias": jnp.asarray(0.0)},
+    )
+    assert np.isfinite(np.asarray(res.f)).all()
+    np.testing.assert_allclose(np.asarray(p_opt["x"]), 0.3, atol=0.05)
 
 
 def test_early_convergence_stops_host_loop():

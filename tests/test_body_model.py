@@ -221,3 +221,71 @@ def test_npz_roundtrip(tmp_path, model):
         jnp.zeros((F, 3)),
     )
     assert np.isfinite(np.asarray(out["vertices"])).all()
+
+
+def test_lbs_forward_at_matches_dense():
+    """The gathered forward (sparse-gradient hot path) is bit-equal to
+    indexing the dense forward, for static and per-frame vertex ids."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from uuo_mocap_tpu.body.model import lbs_forward, lbs_forward_at
+    from uuo_mocap_tpu.body.synthetic import synthetic_body_model
+    from uuo_mocap_tpu.data.synthetic import random_pose_sequence
+
+    model = synthetic_body_model()
+    gt = random_pose_sequence(4, seed=7)
+    F = 4
+    betas = jnp.broadcast_to(gt.betas, (F, 10))
+    full = lbs_forward(model, gt.pose_body, betas, gt.root_orient, gt.trans)
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.choice(model.num_vertices, 11, replace=False))
+    at = lbs_forward_at(model, gt.pose_body, betas, gt.root_orient, gt.trans, ids)
+    assert float(jnp.max(jnp.abs(at["points"] - full["vertices"][:, ids]))) < 1e-5
+    assert float(jnp.max(jnp.abs(at["joints"] - full["joints"][:, :24]))) < 1e-5
+
+    ids_f = jnp.asarray(rng.randint(0, model.num_vertices, size=(F, 11)))
+    at2 = lbs_forward_at(model, gt.pose_body, betas, gt.root_orient, gt.trans, ids_f)
+    ref = jnp.take_along_axis(full["vertices"], ids_f[..., None].repeat(3, -1), axis=1)
+    assert float(jnp.max(jnp.abs(at2["points"] - ref))) < 1e-5
+
+    g = jax.grad(lambda p: float(0) + jnp.sum(
+        lbs_forward_at(model, p, betas, gt.root_orient, gt.trans, ids)["points"]
+    ))(gt.pose_body)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_sparse_chamfer_matches_dense():
+    """_sparse_chamfer (stop-grad ranking + gathered differentiable LBS)
+    equals masked_chamfer of the dense forward in value AND gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from uuo_mocap_tpu.body.synthetic import synthetic_body_model
+    from uuo_mocap_tpu.data.synthetic import generate_markers, random_pose_sequence
+    from uuo_mocap_tpu.ops.chamfer import masked_chamfer
+    from uuo_mocap_tpu.pipeline.stages import SmplParams, _forward, _sparse_chamfer
+
+    model = synthetic_body_model()
+    gt = random_pose_sequence(5, seed=1)
+    mk = generate_markers(model, gt, num_markers=9, seed=2)
+    markers = jnp.asarray(mk.points)
+    w = jnp.ones(markers.shape[:2])
+
+    def loss_dense(p):
+        sp = SmplParams(p["pose"], p["betas"], p["root"], p["trans"])
+        return masked_chamfer(markers, _forward(model, sp)["vertices"], w)
+
+    def loss_sparse(p):
+        sp = SmplParams(p["pose"], p["betas"], p["root"], p["trans"])
+        return _sparse_chamfer(model, sp, markers, w)
+
+    p = {"pose": gt.pose_body, "betas": gt.betas + 0.08,
+         "root": gt.root_orient, "trans": gt.trans + 0.03}
+    vd, gd = jax.value_and_grad(loss_dense)(p)
+    vs, gs = jax.value_and_grad(loss_sparse)(p)
+    assert abs(float(vd) - float(vs)) < 1e-7
+    for k in p:
+        assert float(jnp.max(jnp.abs(gd[k] - gs[k]))) < 1e-4, k

@@ -316,3 +316,62 @@ def lbs_forward(
     joints_out = jnp.concatenate([posed_joints, extra], axis=-2)  # [..., 45, 3]
 
     return {"joints": joints_out, "vertices": verts}
+
+
+def lbs_forward_at(
+    model: BodyModel,
+    pose_body: jnp.ndarray,  # [..., 23, 3, 3]
+    betas: jnp.ndarray,  # [..., 10]
+    root_orient: jnp.ndarray,  # [..., 1, 3, 3]
+    trans: jnp.ndarray,  # [..., 3]
+    vertex_ids: jnp.ndarray,  # [M] or [..., M] int
+) -> Dict[str, jnp.ndarray]:
+    """SMPL forward evaluated ONLY at ``vertex_ids`` — the sparse-gradient
+    companion of ``lbs_forward``.
+
+    The solver's chamfer/marker losses touch ~M (tens) of the V=6890
+    vertices per evaluation; differentiating through the dense forward makes
+    XLA scatter the cotangent into a [.., V, 3] buffer (measured ~11 ms of
+    the 33 ms canonical closure — the single hottest op).  Evaluating the
+    LBS pipeline on GATHERED rows (template/shapedirs/posedirs/weights at
+    the selected ids) gives bit-equal positions with an O(M) backward.
+
+    Rest joints come from precontracting the regressor with the shape basis
+    (j_regressor @ shapedirs, [24, 3, 10]) so no full-V tensor appears
+    anywhere.  Returns {"points" [..., M, 3], "joints" [..., 24, 3]}.
+    """
+    batch_shape = trans.shape[:-1]
+    dtype = model.v_template.dtype
+    V = model.num_vertices
+    betas = jnp.broadcast_to(betas, batch_shape + (NUM_BETAS,)).astype(dtype)
+
+    # rest joints without v_shaped: jr @ template + (jr @ shapedirs) . betas
+    j_template = jnp.einsum("jv,vd->jd", model.j_regressor, model.v_template, precision=_P_BLEND)
+    j_shapedirs = jnp.einsum("jv,vdk->jdk", model.j_regressor, model.shapedirs, precision=_P_BLEND)
+    joints_rest = j_template + jnp.einsum("jdk,...k->...jd", j_shapedirs, betas, precision=_P_BLEND)
+
+    rot_mats = jnp.concatenate([root_orient, pose_body], axis=-3)
+    posed_joints, A = _compose_kinematic_chain(rot_mats, joints_rest, model.parents)
+
+    # gathered per-vertex model rows (vertex_ids may carry batch dims)
+    v_t_sel = model.v_template[vertex_ids]  # [..., M, 3]
+    sh_sel = model.shapedirs[vertex_ids]  # [..., M, 3, 10]
+    w_sel = model.lbs_weights[vertex_ids]  # [..., M, 24]
+    v_shaped = v_t_sel + jnp.einsum("...mdk,...k->...md", sh_sel, betas, precision=_P_BLEND)
+
+    ident = jnp.eye(3, dtype=dtype)
+    pose_feature = (pose_body - ident).reshape(batch_shape + (NUM_POSE_JOINTS * 9,))
+    # posedirs rows per vertex: [V, 3, 207] view, gathered to [..., M, 3, 207]
+    posedirs_v = jnp.transpose(model.posedirs.reshape(NUM_POSE_JOINTS * 9, V, 3), (1, 2, 0))
+    pd_sel = posedirs_v[vertex_ids]
+    v_posed = v_shaped + jnp.einsum("...mdp,...p->...md", pd_sel, pose_feature, precision=_P_BLEND)
+
+    A_flat = A.reshape(batch_shape + (NUM_JOINTS, 12))
+    T_sel = jnp.einsum("...mj,...jc->...mc", w_sel, A_flat, precision=_P_BLEND)  # [..., M, 12]
+    T_sel = T_sel.reshape(T_sel.shape[:-1] + (3, 4))
+    points = (
+        jnp.einsum("...mab,...mb->...ma", T_sel[..., :3], v_posed, precision=_P_BLEND)
+        + T_sel[..., 3]
+    )
+    points = points + trans[..., None, :]
+    return {"points": points, "joints": posed_joints + trans[..., None, :]}

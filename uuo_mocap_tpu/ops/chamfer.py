@@ -18,6 +18,7 @@ flip nearest-vertex assignments).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -58,7 +59,7 @@ def _scan_frame_chunks(step_fn, arrays, num_frames: int, chunk: int):
     return out
 
 
-def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray, precision=_P) -> jnp.ndarray:
     """Pairwise squared distances [..., M, 3] x [..., V, 3] -> [..., M, V].
 
     Uses the |x|^2 - 2xy + |y|^2 expansion: one [M,3]x[3,V] contraction that
@@ -72,7 +73,7 @@ def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     y = y - c
     x2 = jnp.sum(x * x, axis=-1)[..., :, None]  # [..., M, 1]
     y2 = jnp.sum(y * y, axis=-1)[..., None, :]  # [..., 1, V]
-    xy = jnp.einsum("...md,...vd->...mv", x, y, precision=_P)
+    xy = jnp.einsum("...md,...vd->...mv", x, y, precision=precision)
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 
@@ -96,7 +97,39 @@ def min_sqdist(x: jnp.ndarray, y: jnp.ndarray, y_bias: jnp.ndarray) -> jnp.ndarr
     return jnp.min(d2, axis=-1)
 
 
+# Pallas TPU kernels for the hot path: fused single-pass (min, argmin)
+# forward and a scatter-free one-hot-matmul backward.  Both fall back to
+# XLA off-TPU or when M exceeds the kernel lane width (the y->x direction
+# of bidirectional chamfer has M = V = 6890).
+from uuo_mocap_tpu.ops.chamfer_pallas import (  # noqa: E402
+    M_PAD as _PALLAS_M_PAD,
+    make_min_grad_y,
+    min_sqdist_pallas,
+    pallas_available,
+)
+
+# MEASURED COUNTER-RESULT (canonical 4x450x41x6890 closure fwd+bwd on the
+# v5e): Pallas fwd 8.4 ms (== XLA's fused pass), Pallas one-hot-matmul bwd
+# SLOWER than the XLA scatter (grad x,y,bias 28.5 vs 23.0 ms; full closure
+# 56.8 vs 33.6 ms) — the B=1800 tiny grid programs are launch-bound.  The
+# kernels stay as an opt-in (UUO_CHAMFER_PALLAS=1) and the default hot path
+# avoids the dense backward entirely via the sparse-gradient LBS gather
+# (pipeline/stages.py), which makes the scatter moot.
+_PALLAS = pallas_available() and os.environ.get("UUO_CHAMFER_PALLAS", "0") == "1"
+_dy_kernels = {}
+
+
+def _dy_kernel(V: int):
+    if V not in _dy_kernels:
+        _dy_kernels[V] = make_min_grad_y(V)
+    return _dy_kernels[V]
+
+
 def _min_sqdist_fwd(x, y, y_bias):
+    if _PALLAS and x.shape[-2] <= _PALLAS_M_PAD:
+        # one pass over the vertex cloud; no [M, V] product materializes
+        val, idx = min_sqdist_pallas(x, y, jnp.broadcast_to(y_bias, y.shape[:-1]))
+        return val, (x, y, idx)
     d2 = squared_distance_matrix(x, y) + y_bias[..., None, :]
     idx = jnp.argmin(d2, axis=-1)  # [..., M]
     # two fused reductions over the same producer: XLA recomputes d2 per
@@ -122,6 +155,10 @@ def _min_sqdist_bwd(res, g):
     diff = 2.0 * (x_f - y_near) * g_f[..., None]  # d d2/dx
     dx = diff.reshape(x.shape)
 
+    if _PALLAS and M <= _PALLAS_M_PAD:
+        dy, dbias = _dy_kernel(V)(idx, diff.reshape(batch_shape + (M, 3)), g)
+        return dx, dy.reshape(y.shape), dbias.reshape(y.shape[:-1])
+
     rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, M))
     dy = jnp.zeros_like(y_f).at[rows, idx_f].add(-diff)
     # bias grad: sum of g at each selected vertex
@@ -132,15 +169,65 @@ def _min_sqdist_bwd(res, g):
 min_sqdist.defvjp(_min_sqdist_fwd, _min_sqdist_bwd)
 
 
+# ---- two-stage (bf16 candidate -> f32 refine) variant ----------------------
+# The f32 [.., M, V] distance product is pure HBM traffic (V=6890 never fits
+# a useful reuse pattern), and min+argmin recompute it twice.  Stage 1 ranks
+# vertices with a bf16 MXU matmul (half the bytes, 8x the MACs/cycle); stage
+# 2 computes the EXACT f32 distance only at the selected vertex (O(M)).  The
+# returned value/gradient are exact at the chosen vertex; only the argmin
+# selection is bf16-ranked, which can flip between near-equidistant vertices
+# (value error at a flip is the distance gap itself, sub-1e-3 m^2).
+# MEASURED (canonical 4x450x41x6890 closure fwd+bwd): 33.4 -> 28.4 ms — the
+# d2 product is NOT the bottleneck (the backward scatter is; see the Pallas
+# kernels above), so this stays an opt-in alternative, not the default.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def min_sqdist_2stage(x: jnp.ndarray, y: jnp.ndarray, y_bias: jnp.ndarray) -> jnp.ndarray:
+    d2 = squared_distance_matrix(x, y) + y_bias[..., None, :]
+    return jnp.min(d2, axis=-1)
+
+
+def _exact_at(x, y, idx):
+    """Exact f32 squared distance of x[m] to y[idx[m]]: [..., M]."""
+    y_near = jnp.take_along_axis(y, idx[..., None], axis=-2)  # [..., M, 3]
+    diff = x - y_near
+    return jnp.sum(diff * diff, axis=-1), y_near
+
+
+def _min_sqdist_2stage_fwd(x, y, y_bias):
+    # center in f32 BEFORE the bf16 cast: bf16 resolution at a multi-meter
+    # world offset (~3 cm at 5 m) would swamp the ~1 cm marker-surface gaps;
+    # centered coordinates span ~1 m where bf16 resolves ~4 mm — enough to
+    # rank, and the selected distance is recomputed exactly in f32 anyway
+    c = jnp.mean(y, axis=-2, keepdims=True)
+    xb = (x - c).astype(jnp.bfloat16)
+    yb = (y - c).astype(jnp.bfloat16)
+    d2b = squared_distance_matrix(xb, yb, precision=jax.lax.Precision.DEFAULT)
+    d2b = d2b + y_bias[..., None, :].astype(jnp.bfloat16)
+    idx = jnp.argmin(d2b, axis=-1)  # [..., M] bf16-ranked candidate
+    val, _ = _exact_at(x, y, idx)
+    val = val + jnp.take_along_axis(y_bias, idx, axis=-1)  # exact bias at the pick
+    return val, (x, y, idx)
+
+
+min_sqdist_2stage.defvjp(_min_sqdist_2stage_fwd, _min_sqdist_bwd)
+
+
+# loss-path minimum: the Pallas-accelerated exact path by default;
+# UUO_CHAMFER_2STAGE=1 opts into the bf16-ranked two-stage variant (measured
+# slightly faster fwd but the win is dwarfed by the Pallas backward).
+_LOSS_MIN = min_sqdist_2stage if os.environ.get("UUO_CHAMFER_2STAGE") == "1" else min_sqdist
+
+
 def _min_over_rows(x: jnp.ndarray, y: jnp.ndarray, chunk: Optional[int]) -> jnp.ndarray:
     """min_v d^2(x, y) [..., M]; frame-chunk-scanned for [F, M, 3] inputs."""
     zero_bias = jnp.zeros(y.shape[:-1], y.dtype)
     if chunk is None or x.ndim != 3 or x.shape[0] <= chunk:
-        return min_sqdist(x, y, zero_bias)
+        return _LOSS_MIN(x, y, zero_bias)
 
     def step(arrs):
         x_c, y_c, b_c = arrs
-        return min_sqdist(x_c, y_c, b_c)
+        return _LOSS_MIN(x_c, y_c, b_c)
 
     return _scan_frame_chunks(step, (x, y, zero_bias), x.shape[0], chunk)
 
@@ -202,12 +289,12 @@ def masked_chamfer_vertex_subset(
     chunked = frame_chunk is not None and x.ndim == 3 and x.shape[0] > frame_chunk
 
     if not chunked:
-        d2_x = min_sqdist(x, y, y_bias)  # [..., M]
+        d2_x = _LOSS_MIN(x, y, y_bias)  # [..., M]
         loss = jnp.sum(d2_x * xm) / jnp.maximum(jnp.sum(xm), 1e-12)
         if single_directional:
             return loss
         x_bias = (1.0 - (xm > 0)) * BIG
-        d2_y = min_sqdist(y, x, x_bias)
+        d2_y = _LOSS_MIN(y, x, x_bias)
         return loss + jnp.sum(d2_y * ym_flat) / jnp.maximum(jnp.sum(ym_flat), 1e-12)
 
     F = x.shape[0]
@@ -215,10 +302,10 @@ def masked_chamfer_vertex_subset(
 
     def step(arrs):
         x_c, y_c, yb_c, xb_c = arrs
-        d2_x = min_sqdist(x_c, y_c, yb_c)  # [C, M]
+        d2_x = _LOSS_MIN(x_c, y_c, yb_c)  # [C, M]
         if single_directional:
             return d2_x, jnp.zeros(yb_c.shape, x_c.dtype)
-        d2_y = min_sqdist(y_c, x_c, xb_c)
+        d2_y = _LOSS_MIN(y_c, x_c, xb_c)
         return d2_x, d2_y
 
     d2_x, d2_y = _scan_frame_chunks(step, (x, y, y_bias, x_bias), F, frame_chunk)

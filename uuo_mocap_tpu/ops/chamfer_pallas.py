@@ -122,6 +122,73 @@ def min_sqdist_pallas(x: jnp.ndarray, y: jnp.ndarray, y_bias: jnp.ndarray,
     return val, idx
 
 
+def _bwd_kernel(idx_ref, diff_ref, dy_ref):
+    """Backward of min-over-vertices without a scatter:
+    dy[v] = -sum_m diff[m] * [idx[m] == v] and dbias[v] = sum_m g[m] *
+    [idx[m] == v], computed per V tile as one [4, M] x [M, T] one-hot
+    matmul on the MXU.  Replaces the XLA scatter-add — the single most
+    expensive op of the solve (measured ~11 ms of the 33 ms canonical
+    closure eval).
+
+    idx_ref  [1, 1, M_PAD] int32 (argmin vertex per marker; -1 pads)
+    diff_ref [1, 8, M_PAD] rows 0..2 = upstream 2*(x - y_near)*g, row 3 = g
+    dy_ref   [1, 8, V_pad] rows 0..2 = dy^T, row 3 = dbias
+    """
+    idx = idx_ref[0, 0, :]  # [M]
+    diff = diff_ref[0, :4, :]  # [4, M]
+    v_pad = dy_ref.shape[2]
+    num_tiles = v_pad // V_TILE
+    # rows 0..2 (dy) flip sign, row 3 (dbias) keeps it: fold the sign into
+    # the row index (constants can't be captured by the kernel)
+    sign = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0) < 3, -1.0, 1.0)
+
+    def body(t, _):
+        tile_ids = t * V_TILE + jax.lax.broadcasted_iota(jnp.int32, (M_PAD, V_TILE), 1)
+        onehot = (idx[:, None] == tile_ids).astype(jnp.float32)  # [M, T]
+        contrib = jnp.dot(diff, onehot, preferred_element_type=jnp.float32)  # [4, T]
+        dy_ref[0, :4, pl.ds(t * V_TILE, V_TILE)] = sign * contrib
+        return 0
+
+    dy_ref[0, 4:, :] = jnp.zeros((4, v_pad), jnp.float32)
+    jax.lax.fori_loop(0, num_tiles, body, 0)
+
+
+def make_min_grad_y(V: int):
+    """Build the (dy, dbias) kernel for a fixed vertex count.
+    run(idx [..., M] int32, diff [..., M, 3], g [..., M])
+      -> (dy [..., V, 3], dbias [..., V])."""
+    v_pad = ((V + V_TILE - 1) // V_TILE) * V_TILE
+
+    @jax.jit
+    def run(idx: jnp.ndarray, diff: jnp.ndarray, g: jnp.ndarray):
+        batch_shape = idx.shape[:-1]
+        M = idx.shape[-1]
+        B = int(np.prod(batch_shape)) if batch_shape else 1
+        if M > M_PAD:
+            raise ValueError(f"M={M} exceeds kernel lane width {M_PAD}")
+
+        idx_t = jnp.full((B, 1, M_PAD), -1, jnp.int32).at[:, 0, :M].set(idx.reshape(B, M))
+        diff_t = jnp.zeros((B, 8, M_PAD), jnp.float32).at[:, :3, :M].set(
+            jnp.swapaxes(diff.reshape(B, M, 3), -1, -2)
+        )
+        diff_t = diff_t.at[:, 3, :M].set(g.reshape(B, M))
+        out = pl.pallas_call(
+            _bwd_kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, M_PAD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, M_PAD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, v_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 8, v_pad), jnp.float32),
+        )(idx_t, diff_t)
+        dy = jnp.swapaxes(out[:, :3, :V], -1, -2).reshape(batch_shape + (V, 3))
+        dbias = out[:, 3, :V].reshape(batch_shape + (V,))
+        return dy, dbias
+
+    return run
+
+
 def pallas_available() -> bool:
     """True when the default backend can run the TPU kernel."""
     try:

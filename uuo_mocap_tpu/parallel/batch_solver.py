@@ -97,12 +97,25 @@ class MultiSequenceSolver:
         Returns {"results": [per-sequence output dict], "lbfgs_evals",
         "solve_time_s", "stage_times_s", "scores"}.
 
-        The reprojection stages are disabled in the shipped config
-        (``num_iters: 0``); when enabled they run per-sequence through
-        ``ReprojectionStage`` (already angle-batched internally).
+        The camera-reprojection stages are disabled in the shipped config
+        (``num_iters: 0``) and need per-sequence camera streams that
+        ``PreparedSequence`` does not carry — configs that enable them
+        solve through the sequential path (``cli/test.py`` without
+        ``--batch``).
         """
         t_start = time.time()
         cfg = self.config
+        for st in ("reprojection_part", "reprojection_full"):
+            if cfg["stages"][st]["num_iters"] > 0:
+                raise NotImplementedError(
+                    f"{st} needs the camera stream; use the sequential solver "
+                    "(multimodal_video_mocap / cli.test without --batch) for this config"
+                )
+        if cfg["stages"]["part"].get("mode", "cluster") == "network":
+            raise NotImplementedError(
+                "network segmentation mode is sequential-only for now; "
+                "use multimodal_video_mocap / cli.test without --batch"
+            )
         model = self.model
         stages = self.stages
         progress = "progress" in print_options

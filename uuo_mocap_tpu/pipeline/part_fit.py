@@ -25,11 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from uuo_mocap_tpu.body.joints import get_sub_hierarchies, remove_approximately_redundant_hierarchies
-from uuo_mocap_tpu.body.model import BodyModel
+from uuo_mocap_tpu.body.model import BodyModel, lbs_forward_at
 from uuo_mocap_tpu.ops import rotations as rot
 from uuo_mocap_tpu.ops.chamfer import masked_chamfer_vertex_subset, squared_distance_matrix
 from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume
-from uuo_mocap_tpu.pipeline.stages import SEGMENT_SIZE, SmplParams, _data, _forward, _stage_opts
+from uuo_mocap_tpu.pipeline.stages import (
+    SEGMENT_SIZE, SmplParams, _data, _forward, _ranked_nearest, _stage_opts,
+)
 from uuo_mocap_tpu.solver import losses as L
 from uuo_mocap_tpu.solver.lbfgs import BatchedLbfgs
 
@@ -86,6 +88,11 @@ class PartFitter:
         losses = scfg["losses"]
         model = self.model
 
+        # sparse-gradient path applies unless a loss needs the dense
+        # vertex cloud with gradients (only ``ground`` here); joints come
+        # from the gathered forward's kinematic chain either way
+        sparse = "ground" not in losses
+
         def fun(p, lane, shared):
             """One subtree lane (reference ``markers_utils.py:416-564``).
 
@@ -97,24 +104,43 @@ class PartFitter:
             F = markers.shape[0]
             z_root = rot.rot_z(jnp.broadcast_to(p["z"], (F, 1, 1))) @ d["root_orient0"]
             sp = SmplParams(d["o_pose_body"], p["betas"], z_root, p["trans"])
-            out = _forward(model, sp)
             total = 0.0
             # single-directional chamfer markers -> masked part vertices
             # (reference markers_utils.py:471-476; unweighted there)
-            total += losses["chamfer"] * masked_chamfer_vertex_subset(
-                markers, out["vertices"], d["marker_weights"], vertex_mask, single_directional=True
-            )
+            if sparse:
+                sp_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, sp)
+                verts_ng = _forward(model, sp_ng)["vertices"]
+                bias = (1.0 - (vertex_mask > 0)) * 1e10
+                idx = _ranked_nearest(markers, verts_ng, bias)  # [F, M] within the subtree
+                at = lbs_forward_at(
+                    model, sp.pose_body, jnp.broadcast_to(sp.betas, (F, 10)),
+                    sp.root_orient, sp.trans, idx,
+                )
+                d2 = jnp.sum((markers - at["points"]) ** 2, axis=-1)
+                w = d["marker_weights"].astype(markers.dtype)
+                total += losses["chamfer"] * (
+                    jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1e-12)
+                )
+                joints = at["joints"]
+            else:
+                out = _forward(model, sp)
+                total += losses["chamfer"] * masked_chamfer_vertex_subset(
+                    markers, out["vertices"], d["marker_weights"], vertex_mask,
+                    single_directional=True,
+                )
+                joints = out["joints"]
+                if "ground" in losses:
+                    total += losses["ground"] * L.ground_loss_vertices(
+                        out["vertices"], d["frame_valid"])
             if "reg_betas" in losses:
                 total += losses["reg_betas"] * L.mse(p["betas"], d["o_betas"])
             if "foot_contact" in losses:
-                total += losses["foot_contact"] * L.foot_contact_loss(out["joints"], d["foot_contacts"])
+                total += losses["foot_contact"] * L.foot_contact_loss(joints, d["foot_contacts"])
             if "foot_velocity" in losses:
-                total += losses["foot_velocity"] * L.foot_velocity_loss(out["joints"], d["foot_contacts"])
+                total += losses["foot_velocity"] * L.foot_velocity_loss(joints, d["foot_contacts"])
             if "velocity" in losses:
                 total += losses["velocity"] * L.velocity_loss(
                     p["trans"], jnp.mean(markers, axis=1), d["frame_valid"])
-            if "ground" in losses:
-                total += losses["ground"] * L.ground_loss_vertices(out["vertices"], d["frame_valid"])
             return total
 
         return BatchedLbfgs(fun, _stage_opts(cfg, "part"), segment_size=SEGMENT_SIZE, lane_chunk=LANE_CHUNK)

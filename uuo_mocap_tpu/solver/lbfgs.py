@@ -467,7 +467,10 @@ class BatchedLbfgs:
         self.snapshot = None
         self._built = {}  # shape-signature -> (init_fn, seg_fn, unravel)
 
-    def _build(self, params_single):
+    def _build(self, params_single, eff_chunk: int | None):
+        """Build (init, segment) programs; ``eff_chunk`` groups lanes through
+        ``lax.map`` in blocks of that size (bounds concurrent closure memory
+        — decided per lane count at run time)."""
         _, unravel = ravel_pytree(params_single)
         opts = self.opts
         fun = self.fun
@@ -487,10 +490,10 @@ class BatchedLbfgs:
         vmap_init = jax.vmap(init_one, in_axes=(0, 0, None))
         vmap_seg = jax.vmap(seg_one, in_axes=(0, 0, None))
 
-        if self.lane_chunk is None:
+        if eff_chunk is None:
             return jax.jit(vmap_init), jax.jit(vmap_seg), unravel
         else:
-            C = self.lane_chunk
+            C = eff_chunk
 
             def grouped(fn):
                 def run(tree, lane_args, shared):
@@ -507,11 +510,10 @@ class BatchedLbfgs:
 
             return jax.jit(grouped(vmap_init)), jax.jit(grouped(vmap_seg)), unravel
 
-    def _bucket(self, n_live: int, cur: int) -> int:
-        """Smallest halving of ``cur`` (lane_chunk-aligned, >= 1 chunk) that
-        still fits the live lanes.  Halvings only — each bucket is one extra
-        compile, and halving bounds the total at log2(L)."""
-        unit = self.lane_chunk or 1
+    def _bucket(self, n_live: int, cur: int, unit: int) -> int:
+        """Smallest halving of ``cur`` (unit-aligned) that still fits the
+        live lanes.  Halvings only — each bucket is one extra compile, and
+        halving bounds the total at log2(L)."""
         b = cur
         while b // 2 >= max(n_live, unit) and (b // 2) % unit == 0:
             b //= 2
@@ -520,7 +522,13 @@ class BatchedLbfgs:
     def run(self, params0_batch, lane_args, shared) -> Tuple[object, LbfgsResult]:
         import numpy as _np
 
-        key = tuple(
+        L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
+        # group lanes through lax.map only when the batch is big enough to
+        # threaten HBM; small batches (e.g. 4 hypothesis lanes) stay one vmap
+        C = self.lane_chunk
+        eff_chunk = C if (C is not None and L > C and L % C == 0) else None
+        unit = eff_chunk or 1
+        key = (eff_chunk,) + tuple(
             (str(p), a.shape, str(a.dtype))
             for p, a in jax.tree_util.tree_flatten_with_path(params0_batch)[0]
         ) + tuple(
@@ -528,11 +536,10 @@ class BatchedLbfgs:
             for p, a in jax.tree_util.tree_flatten_with_path(lane_args)[0]
         )
         if key not in self._built:
-            self._built[key] = self._build(jax.tree_util.tree_map(lambda a: a[0], params0_batch))
+            self._built[key] = self._build(
+                jax.tree_util.tree_map(lambda a: a[0], params0_batch), eff_chunk
+            )
         init_fn, seg_fn, unravel = self._built[key]
-        L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
-        if self.lane_chunk is not None and L % self.lane_chunk != 0:
-            raise ValueError(f"lanes {L} not a multiple of lane_chunk {self.lane_chunk}")
 
         import os as _os
         import time as _time
@@ -584,7 +591,7 @@ class BatchedLbfgs:
 
             if self.repack:
                 live = _np.where(~finished)[0]
-                bucket = self._bucket(len(live), len(idx))
+                bucket = self._bucket(len(live), len(idx), unit)
                 if bucket < len(idx):
                     # retire finished rows to host, compact live rows (+ pad
                     # by duplicating live rows — duplicates evolve
