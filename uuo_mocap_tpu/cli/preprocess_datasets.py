@@ -119,19 +119,20 @@ def run_dataset(
         if remove_backpack:
             dataset_name += "_rb"  # reference ``preprocess_cmu_kitchen.py:171-174``
 
-    whitelists = {}
-    if kind == "moyo":
-        # per-session valid markers (reference preprocess_moyo.py:44-47);
-        # matched by session-name substring of the subject or sequence
-        whitelists = dict(MOYO_VALID_MARKERS)
+    # vendored MOYO session keys match by substring of the subject/sequence
+    # (reference preprocess_moyo.py:44-47); user-supplied whitelist files
+    # keep EXACT sequence-name lookup — a short user key must not silently
+    # filter an unrelated sequence it happens to be a substring of (ADVICE r2)
+    session_whitelists = dict(MOYO_VALID_MARKERS) if kind == "moyo" else {}
+    exact_whitelists = {}
     if whitelist_file:
         with open(whitelist_file) as f:
-            whitelists.update(json.load(f))  # {sequence_name: [marker names]}
+            exact_whitelists = json.load(f)  # {sequence_name: [marker names]}
 
     def whitelist_for(subject: str, seq: str):
-        if seq in whitelists:
-            return whitelists[seq]
-        for key, names in whitelists.items():
+        if seq in exact_whitelists:
+            return exact_whitelists[seq]
+        for key, names in session_whitelists.items():
             if key in subject or key in seq:
                 return names
         return None

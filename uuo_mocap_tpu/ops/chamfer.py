@@ -183,8 +183,12 @@ min_sqdist.defvjp(_min_sqdist_fwd, _min_sqdist_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def min_sqdist_2stage(x: jnp.ndarray, y: jnp.ndarray, y_bias: jnp.ndarray) -> jnp.ndarray:
-    d2 = squared_distance_matrix(x, y) + y_bias[..., None, :]
-    return jnp.min(d2, axis=-1)
+    # primal == fwd (bf16-ranked pick, exact f32 refine) so the loss VALUE is
+    # identical in grad contexts (L-BFGS line search) and no-grad contexts
+    # (hypothesis scoring) — an exact-dense primal here could flip hypothesis
+    # selection relative to the optimized objective (ADVICE r2)
+    val, _ = _min_sqdist_2stage_fwd(x, y, y_bias)
+    return val
 
 
 def _exact_at(x, y, idx):

@@ -100,11 +100,10 @@ def plot_part_error_histograms(
         for gi, group in enumerate(part_groups):
             cols = [values[m][group]["left"], values[m][group]["right"]]
             if any(len(c) for c in cols):
-                n = max(len(c) for c in cols)
-                data = np.zeros((n, 2))
-                for ci, c in enumerate(cols):
-                    data[: len(c), ci] = c
-                axes[gi].hist(data, nbins, histtype="bar", stacked=True,
+                # ragged lists go to plt.hist directly — zero-padding the
+                # shorter side would inject fake 0.0 samples (ADVICE r2)
+                axes[gi].hist([np.asarray(c, float) for c in cols], nbins,
+                              histtype="bar", stacked=True,
                               label=["left", "right"] if gi == 0 else None)
             axes[gi].set_title(group.capitalize() + "s")
             if gi == 0:
