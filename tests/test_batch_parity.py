@@ -19,6 +19,8 @@ from uuo_mocap_tpu.parallel.batch_solver import MultiSequenceSolver
 from uuo_mocap_tpu.parallel.mesh import make_mesh
 from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap, prepare_sequence
 
+pytestmark = pytest.mark.slow  # full-solve e2e tier (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def body():

@@ -13,6 +13,8 @@ from uuo_mocap_tpu.ops.geometry import get_marker_mask
 from uuo_mocap_tpu.parallel.batch_solver import MultiSequenceSolver
 from uuo_mocap_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # full-solve e2e tier (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def body():

@@ -12,6 +12,8 @@ from uuo_mocap_tpu.data.markers import ArrayMarkers
 from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, random_pose_sequence
 from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap
 
+pytestmark = pytest.mark.slow  # full-solve e2e tier (see pyproject)
+
 
 def _cfg():
     cfg = load_config("configs/video_mocap.yaml")

@@ -14,6 +14,8 @@ from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, rando
 from uuo_mocap_tpu.pipeline.journal import IterationJournal
 from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap
 
+pytestmark = pytest.mark.slow  # full-solve e2e tier (see pyproject)
+
 
 @pytest.fixture(scope="module")
 def body():

@@ -22,6 +22,7 @@ def body():
     return synthetic_body_model()
 
 
+@pytest.mark.slow
 def test_network_mode_solve(tmp_path_factory, body):
     ckpt_dir = str(tmp_path_factory.mktemp("ckpts"))
     params, hist = T.train_marker_segmenter(body, steps=40, batch=4, num_markers=24, seed=2)

@@ -16,6 +16,8 @@ from uuo_mocap_tpu.data.config import load_config
 from uuo_mocap_tpu.pipeline.multimodal import multimodal_video_mocap
 from uuo_mocap_tpu.pipeline.stages import SmplParams
 
+pytestmark = pytest.mark.slow  # full-solve e2e tier (see pyproject)
+
 
 def fast_config():
     cfg = load_config("configs/video_mocap.yaml")
