@@ -117,3 +117,42 @@ def test_shape_change_rebuilds():
         )
         assert p_opt["x"].shape == (2, n)
         np.testing.assert_allclose(np.asarray(p_opt["x"]), 1.0, atol=1e-1)
+
+
+def test_streaming_matches_unstreamed():
+    """L lanes streamed through a W-wide working set (refill-on-retire) must
+    match the all-lanes-resident solve bit-for-bit: lanes are independent."""
+    L, W = 12, 4
+    # heterogeneous difficulty so lanes converge at very different times
+    targets = jnp.asarray(RNG.randn(L, 6).astype(np.float32) * np.linspace(0.1, 5.0, L)[:, None])
+    p0 = {"x": jnp.zeros((L, 6))}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    a = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=120), segment_size=6)
+    pa, ra = a.run(p0, {"target": targets}, shared)
+    b = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=120), segment_size=6, max_width=W)
+    pb, rb = b.run(p0, {"target": targets}, shared)
+    np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pb["x"]))
+    np.testing.assert_array_equal(np.asarray(ra.num_evals), np.asarray(rb.num_evals))
+    assert b.last_run_stats["width"] == W
+    assert b.last_run_stats["lanes"] == L
+    assert b.last_run_stats["refills"] >= 1
+    assert b.last_run_stats["lane_evals"] == int(np.asarray(rb.num_evals).sum())
+    assert b.last_run_stats["device_evals"] >= b.last_run_stats["lane_evals"] * W // L
+
+
+def test_pad_width_matches():
+    """L < W with pad_width: the working set pads up to W with duplicate
+    lanes so a canonical-width program can be reused; results unchanged."""
+    L, W = 3, 8
+    targets = jnp.asarray(RNG.randn(L, 5).astype(np.float32))
+    p0 = {"x": jnp.zeros((L, 5))}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    a = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10)
+    pa, _ = a.run(p0, {"target": targets}, shared)
+    b = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10,
+                     max_width=W, pad_width=True)
+    pb, _ = b.run(p0, {"target": targets}, shared)
+    assert b.last_run_stats["width"] == W
+    np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pb["x"]))

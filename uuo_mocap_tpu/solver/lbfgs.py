@@ -25,6 +25,7 @@ becomes one batched program (SURVEY.md §2.8).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax
@@ -422,6 +423,17 @@ def lbfgs_minimize(fun, params0, opts: LbfgsOptions) -> Tuple[object, LbfgsResul
     return unravel(res.x), res
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def _tree_take(tree, idx):
+    return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tree_scatter(pool, idx, rows):
+    """pool[idx] = rows (duplicate idx carry identical row values)."""
+    return jax.tree_util.tree_map(lambda p, r: p.at[idx].set(r), pool, rows)
+
+
 class BatchedLbfgs:
     """Segmented, batched L-BFGS driver with persistent compiled programs.
 
@@ -438,33 +450,55 @@ class BatchedLbfgs:
     per-hypothesis / per-subtree optimizer loops; build ONCE per stage so
     the init/segment programs stay in the jit cache across sequences.
 
-    ``repack`` (default on): between segments, converged lanes are retired
-    to host buffers and the live lanes compacted into the next smaller
-    shape bucket (halvings of the initial lane count, lane_chunk-aligned),
-    so finished lanes stop consuming closure evaluations.  Lanes are
-    independent minimizations, so repacking never changes any lane's
-    result — it only removes the lockstep ride-along cost.  Each bucket
-    shape is one extra XLA compile, cached persistently.
+    Streaming (``max_width``): the device programs run a fixed WORKING SET
+    of W lanes; all L lanes live in a device-resident pool.  When a working
+    lane converges it retires to the pool and a queued lane refills its
+    slot, so (a) L can exceed the largest stable program width on the chip,
+    (b) exactly ONE program shape per stage compiles regardless of L, and
+    (c) converged lanes stop consuming closure evaluations (the lockstep
+    ride-along cost is bounded by the final drain, where duplicates of
+    still-live lanes pad the working set — duplicates evolve identically,
+    so results are bit-equal to the unstreamed solve).
     """
 
     def __init__(self, fun, opts: LbfgsOptions, segment_size: int = 100,
-                 lane_chunk: int | None = None, repack: bool = True):
+                 lane_chunk: int | None = None, max_width: int | None = None,
+                 pad_width: bool = False):
         self.fun = fun
         self.opts = opts
         self.segment_size = segment_size
         self.lane_chunk = lane_chunk
-        self.repack = repack
+        # device-program lane width cap; None = all lanes in one program
+        self.max_width = max_width
+        # pad the working set UP to max_width even when L < max_width, so a
+        # smaller batch reuses the canonical-width compiled programs
+        self.pad_width = pad_width
+        # warmup mode: stop after this many device segments regardless of
+        # convergence (results are partial descents).  The segment/init
+        # programs are IDENTICAL to a full run (opts are unchanged), so this
+        # compiles every program of a stage at a bounded cost — bench.py's
+        # compile-only warmup (VERDICT r2 item 1).
+        self.abort_after_segments = None
         # optional pytree placer (e.g. NamedSharding over a mesh 'data' axis)
         # applied to the optimizer state + lane args at init and after every
-        # repack compaction, so lanes stay sharded across devices
+        # refill, so lanes stay sharded across devices
         self.reshard = None
         # optional per-segment observer: snapshot(global_lane_idx, n_iter,
         # params_pytree) called after every segment with the CURRENT
-        # parameters of the still-resident lanes.  The segmented host loop
+        # parameters of the working-set lanes.  The segmented host loop
         # already syncs per segment, so this is the natural bounded-rate
         # analog of the reference's per-iteration ``iter_fn`` protocol
         # (``multimodal.py:102-142``) with no extra device round-trips.
         self.snapshot = None
+        # honest eval accounting for the last run() (VERDICT r2 item 4):
+        #   lane_evals   — sum of per-lane closure evals (useful work; the
+        #                  vmapped while_loop freezes finished lanes, so
+        #                  their counters stop);
+        #   device_evals — lower bound of evals the chip actually burned:
+        #                  per segment, width x max per-lane evals (lockstep
+        #                  lanes ride until the segment's slowest lane);
+        #   segments / refills — host-loop round trips & lane swap-ins.
+        self.last_run_stats: dict = {}
         self._built = {}  # shape-signature -> (init_fn, seg_fn, unravel)
 
     def _build(self, params_single, eff_chunk: int | None):
@@ -510,31 +544,31 @@ class BatchedLbfgs:
 
             return jax.jit(grouped(vmap_init)), jax.jit(grouped(vmap_seg)), unravel
 
-    def _bucket(self, n_live: int, cur: int, unit: int) -> int:
-        """Smallest halving of ``cur`` (unit-aligned) that still fits the
-        live lanes.  Halvings only — each bucket is one extra compile, and
-        halving bounds the total at log2(L)."""
-        b = cur
-        while b // 2 >= max(n_live, unit) and (b // 2) % unit == 0:
-            b //= 2
-        return b
+    @staticmethod
+    def _take(tree, idx):
+        """Jitted row gather along axis 0 of every leaf."""
+        return _tree_take(tree, idx)
 
     def run(self, params0_batch, lane_args, shared) -> Tuple[object, LbfgsResult]:
         import numpy as _np
 
         L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
-        # group lanes through lax.map only when the batch is big enough to
-        # threaten HBM; small batches (e.g. 4 hypothesis lanes) stay one vmap
+        # working-set width: cap at max_width (streaming), optionally pad
+        # small batches UP to it so they reuse the canonical-width programs
+        if self.max_width is not None and (L > self.max_width or self.pad_width):
+            W = int(self.max_width)
+        else:
+            W = L
+        # group lanes through lax.map only when the working set is big
+        # enough to threaten HBM; small sets (e.g. 4 hypothesis lanes) stay
+        # one vmap
         C = self.lane_chunk
-        eff_chunk = C if (C is not None and L > C and L % C == 0) else None
-        unit = eff_chunk or 1
-        key = (eff_chunk,) + tuple(
-            (str(p), a.shape, str(a.dtype))
-            for p, a in jax.tree_util.tree_flatten_with_path(params0_batch)[0]
-        ) + tuple(
-            (str(p), a.shape, str(a.dtype))
-            for p, a in jax.tree_util.tree_flatten_with_path(lane_args)[0]
+        eff_chunk = C if (C is not None and W > C and W % C == 0) else None
+        sig = lambda tree: tuple(
+            (str(p), (W,) + a.shape[1:], str(a.dtype))
+            for p, a in jax.tree_util.tree_flatten_with_path(tree)[0]
         )
+        key = (eff_chunk,) + sig(params0_batch) + sig(lane_args)
         if key not in self._built:
             self._built[key] = self._build(
                 jax.tree_util.tree_map(lambda a: a[0], params0_batch), eff_chunk
@@ -548,74 +582,107 @@ class BatchedLbfgs:
         if self.reshard is not None:
             params0_batch = self.reshard(params0_batch)
             lane_args = self.reshard(lane_args)
-        state = init_fn(params0_batch, lane_args, shared)
+
+        # ---- init the pool in W-wide chunks (row j of chunk s = lane
+        #      min(s+j, L-1); tail duplicates beyond L are sliced off)
+        pool_chunks = []
+        for s in range(0, L, W):
+            idx0 = jnp.asarray(_np.clip(_np.arange(s, s + W), 0, L - 1))
+            st = init_fn(self._take(params0_batch, idx0), self._take(lane_args, idx0), shared)
+            pool_chunks.append(st)
+        if len(pool_chunks) == 1 and W == L:
+            pool = pool_chunks[0]
+        else:
+            pool = jax.tree_util.tree_map(
+                lambda *cs: jnp.concatenate(cs, axis=0)[:L], *pool_chunks
+            )
         if self.reshard is not None:
-            state = self.reshard(state)
+            pool = self.reshard(pool)
 
-        # host-side result buffers, filled as lanes retire
-        out = {f: None for f in ("x", "f", "g", "n_iter", "n_evals")}
-        written = _np.zeros(L, bool)
+        finished = _np.zeros(L, bool)
+        evals_prev = _np.asarray(pool.n_evals).astype(_np.int64)
+        device_evals = int(W * (len(pool_chunks)))  # init evals burned
+        lane_evals_init = int(evals_prev.sum())
+        segments = 0
+        refills = 0
 
-        def stash(state_rows_np, local_rows, global_rows):
-            for name in out:
-                col = state_rows_np[name]
-                if out[name] is None:
-                    out[name] = _np.zeros((L,) + col.shape[1:], col.dtype)
-                out[name][global_rows] = col[local_rows]
-            written[global_rows] = True
+        def pick_active():
+            """W working rows: live lanes first, padded with repeats of live
+            lanes (duplicates evolve identically — writes are bit-equal)."""
+            live = _np.where(~finished)[0]
+            if len(live) >= W:
+                return live[:W]
+            return _np.concatenate([live, live[_np.arange(W - len(live)) % len(live)]])
 
-        idx = _np.arange(L)  # state row i solves global lane idx[i]
-        cur_lane_args = lane_args
+        active = pick_active()
+        prev_active = None
+        ws_state = None
+        ws_args = None
         while True:
+            if ws_state is None or not _np.array_equal(active, prev_active):
+                act_j = jnp.asarray(active)
+                ws_state = self._take(pool, act_j)
+                ws_args = self._take(lane_args, act_j)
+                if self.reshard is not None:
+                    ws_state = self.reshard(ws_state)
+                    ws_args = self.reshard(ws_args)
+                if prev_active is not None:
+                    refills += 1
+                prev_active = active
             t0 = _time.time()
-            state = seg_fn(state, cur_lane_args, shared)
-            done = _np.asarray(state.done)
-            iters = _np.asarray(state.n_iter)
-            finished = done | (iters >= self.opts.max_iter)  # per-lane OR!
+            ws_state = seg_fn(ws_state, ws_args, shared)
+            segments += 1
+            done = _np.asarray(ws_state.done)
+            iters = _np.asarray(ws_state.n_iter)
+            evals = _np.asarray(ws_state.n_evals).astype(_np.int64)
+            fin_now = done | (iters >= self.opts.max_iter)  # per-lane OR!
+            # device burns W x (slowest lane's evals) per lockstep segment
+            delta = evals - evals_prev[active]
+            device_evals += int(W * max(int(delta.max()), 0))
             if self.snapshot is not None:
                 params_np = jax.tree_util.tree_map(
-                    _np.asarray, jax.vmap(unravel)(state.x)
+                    _np.asarray, jax.vmap(unravel)(ws_state.x)
                 )
-                self.snapshot(idx.copy(), iters.copy(), params_np)
+                self.snapshot(active.copy(), iters.copy(), params_np)
             if debug:
                 print(
-                    f"[lbfgs] segment {_time.time() - t0:.1f}s  lanes {len(idx)}"
+                    f"[lbfgs] segment {_time.time() - t0:.1f}s  width {W}"
+                    f"  live {int((~finished).sum())}/{L}"
                     f"  iters {iters.min()}-{iters.max()}"
-                    f"  finished {int(finished.sum())}/{finished.size}", flush=True,
+                    f"  seg-finished {int(fin_now.sum())}/{fin_now.size}", flush=True,
                 )
+            # write the working rows back to the pool (duplicate indices
+            # carry identical values)
+            pool = _tree_scatter(pool, jnp.asarray(active), ws_state)
+            evals_prev[active] = evals
+            finished[active[fin_now]] = True
             if finished.all():
-                state_np = {f: _np.asarray(getattr(state, f)) for f in out}
-                rows = _np.arange(len(idx))
-                stash(state_np, rows, idx)
                 break
+            if self.abort_after_segments and segments >= self.abort_after_segments:
+                break
+            new_active = pick_active()
+            if not _np.array_equal(new_active, active):
+                active = new_active
+                ws_state = None  # force re-gather from pool
 
-            if self.repack:
-                live = _np.where(~finished)[0]
-                bucket = self._bucket(len(live), len(idx), unit)
-                if bucket < len(idx):
-                    # retire finished rows to host, compact live rows (+ pad
-                    # by duplicating live rows — duplicates evolve
-                    # identically and are simply overwritten at stash time)
-                    fin = _np.where(finished)[0]
-                    state_np = {f: _np.asarray(getattr(state, f)) for f in out}
-                    stash(state_np, fin, idx[fin])
-                    sel = _np.concatenate([live, live[_np.arange(bucket - len(live)) % len(live)]])
-                    sel_j = jnp.asarray(sel)
-                    state = jax.tree_util.tree_map(lambda a: a[sel_j], state)
-                    cur_lane_args = jax.tree_util.tree_map(lambda a: a[sel_j], cur_lane_args)
-                    if self.reshard is not None:
-                        state = self.reshard(state)
-                        cur_lane_args = self.reshard(cur_lane_args)
-                    idx = idx[sel]
-
-        assert written.all()
-        x_all = jnp.asarray(out["x"])
+        state_np = {f: _np.asarray(getattr(pool, f)) for f in ("x", "f", "g", "n_iter", "n_evals")}
+        lane_evals = int(state_np["n_evals"].sum())
+        self.last_run_stats = {
+            "width": W,
+            "lanes": L,
+            "segments": segments,
+            "refills": refills,
+            "lane_evals": lane_evals,
+            "device_evals": device_evals,
+            "ride_along_evals": max(device_evals - lane_evals, 0),
+        }
+        x_all = jnp.asarray(state_np["x"])
         params_out = jax.vmap(unravel)(x_all)
         result = LbfgsResult(
             x=x_all,
-            f=jnp.asarray(out["f"]),
-            grad_norm=jnp.max(jnp.abs(jnp.asarray(out["g"])), axis=-1),
-            num_iters=jnp.asarray(out["n_iter"]),
-            num_evals=jnp.asarray(out["n_evals"]),
+            f=jnp.asarray(state_np["f"]),
+            grad_norm=jnp.max(jnp.abs(jnp.asarray(state_np["g"])), axis=-1),
+            num_iters=jnp.asarray(state_np["n_iter"]),
+            num_evals=jnp.asarray(state_np["n_evals"]),
         )
         return params_out, result
