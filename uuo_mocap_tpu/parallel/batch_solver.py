@@ -18,8 +18,15 @@ lane-for-lane; the accuracy-parity test pins this.
 
 Sharding: lanes are independent minimizations, so the lane axis shards over
 the mesh's ``data`` axis with NO collectives until the final per-sequence
-argmin over hypothesis scores (A scalars per sequence).  Lane repacking
-re-applies the sharding after each compaction.
+argmin over hypothesis scores (A scalars per sequence).  The streaming
+driver re-applies the sharding after each working-set refill.
+
+Streaming widths (``config["parallel"]``): device programs run a FIXED lane
+width (``lane_width``, default 16 — the largest width validated stable on a
+single v5e chip; 32-wide chamfer programs crash the TPU worker, see
+Benchmarks.md) and any number of lanes stream through them with
+refill-on-retire (``solver/lbfgs.py``).  One program shape per stage
+compiles regardless of batch size.
 """
 from __future__ import annotations
 
@@ -38,6 +45,23 @@ from uuo_mocap_tpu.pipeline.multimodal import PreparedSequence, _params_to_stage
 from uuo_mocap_tpu.pipeline.part_fit import PartFitter
 from uuo_mocap_tpu.pipeline.segmentation import segment_rigid
 from uuo_mocap_tpu.pipeline.stages import SmplParams, SolveStages, _forward
+
+
+def chunked_lanes(fn, width: Optional[int], *args):
+    """Run a jit(vmap) lane program in ``width``-sized slices (tail padded by
+    clamping to the last lane) so ONE canonical compiled shape serves any
+    lane count — the one-shot analog of the streaming L-BFGS driver."""
+    L = jax.tree_util.tree_leaves(args[0])[0].shape[0]
+    if width is None or L <= int(width):
+        return fn(*args)
+    W = int(width)
+    outs = []
+    for s in range(0, L, W):
+        idx = jnp.asarray(np.clip(np.arange(s, s + W), 0, L - 1))
+        outs.append(fn(*[
+            jax.tree_util.tree_map(lambda a: a[idx], arg) for arg in args
+        ]))
+    return jax.tree_util.tree_map(lambda *cs: jnp.concatenate(cs, axis=0)[:L], *outs)
 
 
 def make_lane_resharder(mesh: Mesh):
@@ -62,11 +86,34 @@ class MultiSequenceSolver:
     optionally sharded over a mesh."""
 
     def __init__(self, model: BodyModel, config: Dict[str, Any], mesh: Optional[Mesh] = None):
+        if mesh is not None and int(mesh.shape.get("model", 1)) > 1:
+            # genuine tensor parallelism for the vertex dimension: the body
+            # model's [V, ...] tensors are device_put sharded over the mesh's
+            # 'model' axis, and every stage closure closes over them — GSPMD
+            # propagates the vertex sharding through the LBS forward and the
+            # chamfer min-over-V (which completes with an ICI collective)
+            # in the SAME production programs the lane axis runs through
+            from uuo_mocap_tpu.parallel.mesh import _shard_model_by_vertex
+
+            model = _shard_model_by_vertex(model, mesh)
         self.model = model
         self.config = config
         self.mesh = mesh
         self.stages = SolveStages(model, config)
         self.part_fitter = PartFitter(model, config)
+        pcfg = config.get("parallel") or {}
+        self.lane_width = pcfg.get("lane_width")
+        if self.lane_width:
+            pad = bool(pcfg.get("pad_width", True))
+            for solver in (self.stages._chamfer_solver, self.stages._marker_solver):
+                solver.max_width = int(self.lane_width)
+                solver.pad_width = pad
+        if pcfg.get("part_lane_width"):
+            self.part_fitter._solver.max_width = int(pcfg["part_lane_width"])
+        self._reproj = None  # lazily-built ReprojectionStage
+        # jitted prior forward — the eager op-by-op LBS costs hundreds of
+        # tiny per-op XLA compiles on the tunneled TPU backend
+        self._jit_forward = jax.jit(lambda p: _forward(self.model, p))
         if mesh is not None:
             resharder = make_lane_resharder(mesh)
             for solver in (
@@ -105,16 +152,21 @@ class MultiSequenceSolver:
         """
         t_start = time.time()
         cfg = self.config
-        for st in ("reprojection_part", "reprojection_full"):
-            if cfg["stages"][st]["num_iters"] > 0:
-                raise NotImplementedError(
-                    f"{st} needs the camera stream; use the sequential solver "
-                    "(multimodal_video_mocap / cli.test without --batch) for this config"
-                )
-        if cfg["stages"]["part"].get("mode", "cluster") == "network":
+        do_reproj_part = (
+            cfg["find_best_part_fits"] and cfg["stages"]["reprojection_part"]["num_iters"] > 0
+        )
+        do_reproj_full = cfg["stages"]["reprojection_full"]["num_iters"] > 0
+        if (do_reproj_part or do_reproj_full) and not all(p.has_camera for p in preps):
+            raise ValueError(
+                "reprojection stages need HMR camera streams; prepare_sequence "
+                "found none on at least one sequence (synthetic ImgSmpl priors "
+                "carry no camera data)"
+            )
+        if cfg["stages"]["marker"].get("use_sdf"):
             raise NotImplementedError(
-                "network segmentation mode is sequential-only for now; "
-                "use multimodal_video_mocap / cli.test without --batch"
+                "marker.use_sdf solves through marker_stage_sdf, which the "
+                "lane-batched sweep does not dispatch to yet; use the "
+                "sequential solver (cli.test without --batch) for this config"
             )
         model = self.model
         stages = self.stages
@@ -130,6 +182,17 @@ class MultiSequenceSolver:
                 )
 
         stage_times: Dict[str, float] = {}
+        eval_stats: Dict[str, Dict[str, int]] = {}
+
+        def grab_stats(name, solver):
+            st = dict(solver.last_run_stats)
+            if not st:
+                return
+            if name in eval_stats:
+                for k, v in st.items():
+                    eval_stats[name][k] = eval_stats[name].get(k, 0) + v
+            else:
+                eval_stats[name] = st
 
         def timed(name):
             class _T:
@@ -159,14 +222,49 @@ class MultiSequenceSolver:
         total_evals = 0
 
         # ---- marker segmentation per sequence (host, cheap; reference
-        #      multimodal.py:217-230)
-        log(f"Batch[{Q}]: rigid segmentation...")
-        with timed("segment_rigid"):
-            groups_per_seq = [segment_rigid(np.asarray(p.markers[: p.F_real])) for p in preps]
+        #      multimodal.py:217-230): rigid clustering or the neural
+        #      segmenter (network mode, ``markers_utils.py:34-76``) — the
+        #      per-sequence inference is host-side either way, feeding the
+        #      same lane pipeline
+        part_mode = cfg["stages"]["part"].get("mode", "cluster")
         marker_labels_b = np.zeros((Q, F, M), np.int64)
-        for q, groups in enumerate(groups_per_seq):
-            for gi, group in enumerate(groups):
-                marker_labels_b[q, :, group] = gi
+        fit_mask_b = None  # [Q, M] network mode: restrict fits to the chain's markers
+        if part_mode == "network":
+            from uuo_mocap_tpu.pipeline.segmentation import (
+                chains_from_labels,
+                merge_symmetric_labels,
+                segment_markers_network,
+            )
+
+            log(f"Batch[{Q}]: network segmentation...")
+            num_fit_groups = []
+            fit_mask_b = np.zeros((Q, M), np.float32)
+            with timed("segment_network"):
+                for q, p in enumerate(preps):
+                    prior_out = self._jit_forward(SmplParams(
+                        o_pose_b[q], o_betas_b[q], o_root_b[q], o_trans_b[q]
+                    ))
+                    labels_q = segment_markers_network(
+                        np.asarray(p.markers), p.mocap_freq,
+                        checkpoint_root=cfg.get("checkpoints_dir", "./checkpoints"),
+                        joints=np.asarray(prior_out["joints"][:, :22]),
+                    )
+                    merged = merge_symmetric_labels(
+                        np.apply_along_axis(lambda c: np.bincount(c).argmax(), 0, labels_q)
+                    )
+                    chains_q = chains_from_labels(merged, model.parents)
+                    largest = chains_q[0]
+                    num_fit_groups.append(len(largest))
+                    fit_mask_b[q] = np.isin(merged, largest).astype(np.float32)
+                    marker_labels_b[q] = labels_q
+        else:
+            log(f"Batch[{Q}]: rigid segmentation...")
+            with timed("segment_rigid"):
+                groups_per_seq = [segment_rigid(np.asarray(p.markers[: p.F_real])) for p in preps]
+            for q, groups in enumerate(groups_per_seq):
+                for gi, group in enumerate(groups):
+                    marker_labels_b[q, :, group] = gi
+            num_fit_groups = [len(g) for g in groups_per_seq]
 
         # ---- AABB part-vs-full heuristic per sequence (multimodal.py:232-239)
         zero_params = SmplParams(
@@ -175,7 +273,7 @@ class MultiSequenceSolver:
             o_root_b.reshape(Q * F, 1, 3, 3),
             jnp.zeros((Q * F, 3)),
         )
-        mean_vertices = _forward(model, zero_params)["vertices"].reshape(Q, F, -1, 3)
+        mean_vertices = self._jit_forward(zero_params)["vertices"].reshape(Q, F, -1, 3)
         # median over REAL frames only (bucket-padding zeros distort volumes)
         aabb_ratios = np.asarray([
             float(jnp.median(
@@ -185,6 +283,22 @@ class MultiSequenceSolver:
             for q in range(Q)
         ])
 
+        # ---- camera-aware rotational alignment BEFORE the part fit
+        #      (multimodal.py:253-335): lanes = sequence x angle
+        if do_reproj_part:
+            log(f"Batch[{Q}]: reprojection_part (lanes = sequence x angle)...")
+            nA = int(cfg["stages"]["reprojection_part"]["num_angles"])
+            criterion = cfg["stages"]["reprojection_part"].get("criterion", "reprojection")
+            with timed("reprojection_part"):
+                r_betas, r_root, r_trans = self._reprojection_lanes(
+                    preps, nA, "reproject" if criterion == "reprojection" else "chamfer",
+                    markers_b, weights_b, o_pose_b, o_betas_b,
+                    jnp.median(markers_b, axis=2), img_mask_b,
+                )
+            o_betas_b = r_betas
+            o_root_b = r_root
+            o_trans_b = r_trans
+
         # ---- part fitting, all sequences' subtree searches as one lane batch
         trans_seed = jnp.median(markers_b, axis=2)  # [Q, F, 3]
         root_seed = o_root_b
@@ -193,13 +307,16 @@ class MultiSequenceSolver:
         if cfg["find_best_part_fits"]:
             log(f"Batch[{Q}]: part fit (lanes = sequence x subtree)...")
             fit_weights = jnp.ones_like(weights_b) * frame_valid_b[:, :, None]
+            if fit_mask_b is not None:  # network mode: only the chain's markers
+                fit_weights = fit_weights * jnp.asarray(fit_mask_b)[:, None, :]
             with timed("part_fit"):
                 part_results = self.part_fitter.fit_batch(
                     markers_b, fit_weights, o_pose_b, o_betas_b, o_root_b,
-                    num_rigid_groups=[len(g) for g in groups_per_seq],
+                    num_rigid_groups=num_fit_groups,
                     foot_contacts_b=o_fc_b, frame_valid_b=frame_valid_b,
                 )
             total_evals += sum(r.lbfgs_evals for r in part_results)
+            grab_stats("part_fit", self.part_fitter._solver)
             marker_labels_b = np.stack([np.asarray(r.marker_labels) for r in part_results])
             root_seed = jnp.stack([r.params.root_orient for r in part_results])
             trans_seed = jnp.stack([r.params.trans for r in part_results])
@@ -214,6 +331,20 @@ class MultiSequenceSolver:
             trans_seed = sel(jnp.median(markers_b, axis=2), trans_seed)
             root_seed = sel(o_root_b, root_seed)
             betas_seed = sel(o_betas_b, betas_seed)
+
+        # ---- full-body reprojection alignment (multimodal.py:378-431)
+        if do_reproj_full:
+            log(f"Batch[{Q}]: reprojection_full (lanes = sequence x angle)...")
+            nA = int(cfg["stages"]["reprojection_full"]["num_angles"])
+            with timed("reprojection_full"):
+                rf_betas, rf_root, rf_trans = self._reprojection_lanes(
+                    preps, nA, "reproject",
+                    markers_b, weights_b, o_pose_b, betas_seed,
+                    trans_seed, img_mask_b,
+                )
+            betas_seed = rf_betas
+            root_seed = rf_root
+            trans_seed = rf_trans
 
         labels_mode_b = jnp.asarray(
             np.stack([
@@ -269,19 +400,23 @@ class MultiSequenceSolver:
                     labels_l, fv_l,
                 )
             total_evals += int(np.sum(np.asarray(res_c.num_evals)))
+            grab_stats("chamfer", stages._chamfer_solver)
         else:
             chamfer_all = SmplParams(o_pose_l, lane_rep(betas_seed), root0_l, lane_rep(trans_seed))
 
+        W = self.lane_width
         if do_marker:
             part_gran = cfg["stages"]["segment"]["granularity"] == "part"
             with timed("nearest"):
                 if part_gran:
-                    attach_all = stages.nearest_points_lanes(
-                        markers_l, chamfer_all, lane_rep(img_mask_b), labels_l
+                    attach_all = chunked_lanes(
+                        stages.nearest_points_lanes, W,
+                        markers_l, chamfer_all, lane_rep(img_mask_b), labels_l,
                     )
                 else:
-                    attach_all = stages.nearest_points_lanes_nolabel(
-                        markers_l, chamfer_all, lane_rep(img_mask_b)
+                    attach_all = chunked_lanes(
+                        stages.nearest_points_lanes_nolabel, W,
+                        markers_l, chamfer_all, lane_rep(img_mask_b),
                     )
                 jax.block_until_ready(attach_all.vertex_ids)
             with timed("marker"):
@@ -289,13 +424,14 @@ class MultiSequenceSolver:
                     markers_l, weights_l, o_pose_l, o_betas_l, chamfer_all, attach_all, fv_l,
                 )
             total_evals += int(np.sum(np.asarray(res_m.num_evals)))
+            grab_stats("marker", stages._marker_solver)
         else:
             marker_all = chamfer_all
 
         # ---- best hypothesis per sequence (multimodal.py:576-606)
-        scores = np.asarray(
-            stages.score_chamfer_lanes(markers_l, weights_l, marker_all)
-        ).reshape(Q, A)
+        scores = np.asarray(chunked_lanes(
+            stages.score_chamfer_lanes, W, markers_l, weights_l, marker_all
+        )).reshape(Q, A)
         best = np.argmin(scores, axis=1)  # [Q]
         sel_l = jnp.asarray(np.arange(Q) * A + best)
         params_q = jax.tree_util.tree_map(lambda x: x[sel_l], marker_all)
@@ -336,6 +472,7 @@ class MultiSequenceSolver:
                         params_q, attach_q, frame_valid_b,
                     )
                 total_evals += int(np.sum(np.asarray(res_f.num_evals)))
+                grab_stats("marker_final", stages._marker_solver)
 
         # ---- per-sequence output assembly (multimodal.py:679-710)
         results = []
@@ -384,9 +521,48 @@ class MultiSequenceSolver:
             "lbfgs_evals": total_evals,
             "solve_time_s": dt,
             "stage_times_s": {k: round(v, 2) for k, v in stage_times.items()},
+            "eval_stats": eval_stats,
             "scores": scores,
             "best_hypothesis": best,
         }
+
+    # ------------------------------------------------- reprojection lanes
+    def _reprojection_lanes(self, preps, nA, metric_key, markers_b, weights_b,
+                            o_pose_b, betas0_b, trans0_b, img_mask_b):
+        """Multi-angle camera alignment for all sequences at once: lanes =
+        sequence x angle through the vmapped reprojection program
+        (``pipeline/reprojection.py``), chunked to the stable lane width.
+        Returns per-sequence (betas [Q,1,10], root [Q,F,1,3,3], trans
+        [Q,F,3]) of each sequence's best angle — the same selection the
+        sequential path makes (``multimodal.py:253-335``)."""
+        from uuo_mocap_tpu.pipeline.reprojection import ReprojectionStage
+
+        if self._reproj is None:
+            # the reference re-reads iters/losses from reprojection_part for
+            # BOTH variants (multimodal.py:410)
+            self._reproj = ReprojectionStage(self.model, self.config, "reprojection_part")
+        Q = len(preps)
+        angles = np.arange(nA) * 2 * np.pi / max(nA, 1)
+        angles_l = jnp.asarray(np.tile(angles, Q), jnp.float32)  # sequence-major
+
+        def lane_rep(x):
+            return jnp.repeat(x, nA, axis=0)
+
+        def cam(field):
+            return jnp.asarray(np.stack([getattr(p, field) for p in preps]))
+
+        out = chunked_lanes(
+            self._reproj.lanes, self.lane_width,
+            angles_l, lane_rep(markers_b), lane_rep(weights_b), lane_rep(o_pose_b),
+            lane_rep(betas0_b), lane_rep(cam("hmr_betas")), lane_rep(cam("hmr_root_orient")),
+            lane_rep(trans0_b), lane_rep(cam("camera_bbox")), lane_rep(cam("cam_center")),
+            lane_rep(cam("cam_size")), lane_rep(cam("cam_scale")), lane_rep(img_mask_b),
+        )
+        met = np.asarray(out["metrics"][metric_key]).reshape(Q, nA)
+        best = np.argmin(met, axis=1)
+        sel = jnp.asarray(np.arange(Q) * nA + best)
+        betas = jnp.mean(out["betas"][sel], axis=1)[:, None, :]  # [Q, 1, 10]
+        return betas, out["root_orient"][sel], out["trans"][sel]
 
     # ----------------------------------------------- compat core-stage sweep
     def solve(

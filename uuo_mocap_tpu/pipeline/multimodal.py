@@ -92,7 +92,16 @@ class PreparedSequence:
         "markers", "img_mask", "frame_valid", "F", "F_real", "M_real",
         "o_trans", "o_root_orient", "o_pose_body", "o_foot_contacts", "o_betas",
         "mocap_freq",
+        # camera streams for the reprojection stages (None when the ImgSmpl
+        # carries no HMR camera data, e.g. synthetic priors): frame-padded
+        # like the marker stream so batch lanes share one shape
+        "hmr_betas", "hmr_root_orient", "camera_bbox", "cam_center",
+        "cam_size", "cam_scale",
     )
+
+    @property
+    def has_camera(self) -> bool:
+        return self.camera_bbox is not None
 
 
 def prepare_sequence(
@@ -190,6 +199,33 @@ def prepare_sequence(
     prep.o_foot_contacts = o_foot_contacts
     prep.o_betas = o_betas
     prep.mocap_freq = mocap_freq
+
+    # camera streams (reprojection stages read them at frame index, same as
+    # the reference's direct img_smpl slices — ``multimodal.py:253-335``):
+    # clamp-pad to the bucketed frame count so batch lanes share one shape
+    def cam_stream(a):
+        if a is None:
+            return None
+        a = np.asarray(a, np.float32)
+        if a.shape[0] < F:
+            a = np.concatenate([a, np.repeat(a[-1:], F - a.shape[0], axis=0)], axis=0)
+        return a[:F]
+
+    # ImgSmpl backfills missing camera fields with zeros (img_smpl.py:44-47);
+    # an all-zero bbox stream means the HMR detector saw nothing in ANY
+    # frame — i.e. there is no usable camera, and the batched reprojection
+    # stages must refuse rather than optimize a degenerate criterion
+    raw_bbox = getattr(img_smpl, "camera_bbox", None)
+    if raw_bbox is None or not np.any(np.abs(np.asarray(raw_bbox)) > 0):
+        prep.hmr_betas = prep.hmr_root_orient = prep.camera_bbox = None
+        prep.cam_center = prep.cam_size = prep.cam_scale = None
+        return prep
+    prep.hmr_betas = cam_stream(getattr(img_smpl, "betas", None))
+    prep.hmr_root_orient = cam_stream(getattr(img_smpl, "hmr_root_orient", None))
+    prep.camera_bbox = cam_stream(raw_bbox)
+    prep.cam_center = cam_stream(getattr(img_smpl, "center", None))
+    prep.cam_size = cam_stream(getattr(img_smpl, "size", None))
+    prep.cam_scale = cam_stream(getattr(img_smpl, "scale", None))
     return prep
 
 
@@ -356,22 +392,22 @@ def multimodal_video_mocap(
     # ---- camera-aware rotational alignment (multimodal.py:253-335;
     #      disabled in the shipped config: reprojection_part.num_iters == 0)
     reproj_out = None
-    if config["find_best_part_fits"] and config["stages"]["reprojection_part"]["num_iters"] > 0:
+    if (config["find_best_part_fits"] and config["stages"]["reprojection_part"]["num_iters"] > 0
+            and prep.has_camera):
         log("Stage [reprojection]: multi-angle camera alignment (batched)...")
         from uuo_mocap_tpu.pipeline.reprojection import ReprojectionStage
 
         reproj = ReprojectionStage(model, config, "reprojection_part")
         nA = int(config["stages"]["reprojection_part"]["num_angles"])
         r_angles = jnp.asarray(np.arange(nA) * 2 * np.pi / max(nA, 1), jnp.float32)
-        hmr_root = jnp.asarray(np.asarray(img_smpl.hmr_root_orient, np.float32)[:F])
         reproj_out = reproj(
             r_angles, markers, weights, o_pose_body_j, jnp.asarray(betas),
-            jnp.asarray(np.asarray(img_smpl.betas, np.float32)[:F]),
-            hmr_root, trans,
-            jnp.asarray(np.asarray(img_smpl.camera_bbox, np.float32)[:F]),
-            jnp.asarray(np.asarray(img_smpl.center, np.float32)[:F]),
-            jnp.asarray(np.asarray(img_smpl.size, np.float32)[:F]),
-            jnp.asarray(np.asarray(img_smpl.scale, np.float32)[:F]),
+            jnp.asarray(prep.hmr_betas),
+            jnp.asarray(prep.hmr_root_orient), trans,
+            jnp.asarray(prep.camera_bbox),
+            jnp.asarray(prep.cam_center),
+            jnp.asarray(prep.cam_size),
+            jnp.asarray(prep.cam_scale),
             img_mask,
         )
         criterion = config["stages"]["reprojection_part"].get("criterion", "reprojection")
@@ -430,7 +466,7 @@ def multimodal_video_mocap(
 
     # ---- full-body reprojection alignment (multimodal.py:378-431;
     #      disabled in the shipped config: reprojection_full.num_iters == 0)
-    if config["stages"]["reprojection_full"]["num_iters"] > 0:
+    if config["stages"]["reprojection_full"]["num_iters"] > 0 and prep.has_camera:
         log("Stage [reprojection_full]: multi-angle camera alignment (batched)...")
         from uuo_mocap_tpu.pipeline.reprojection import ReprojectionStage
 
@@ -439,15 +475,14 @@ def multimodal_video_mocap(
         reproj_f = ReprojectionStage(model, config, "reprojection_part")
         nA = int(config["stages"]["reprojection_full"]["num_angles"])
         rf_angles = jnp.asarray(np.arange(nA) * 2 * np.pi / max(nA, 1), jnp.float32)
-        hmr_root = jnp.asarray(np.asarray(img_smpl.hmr_root_orient, np.float32)[:F])
         rf_out = reproj_f(
             rf_angles, markers, weights, o_pose_body_j, jnp.asarray(betas),
-            jnp.asarray(np.asarray(img_smpl.betas, np.float32)[:F]),
-            hmr_root, trans,
-            jnp.asarray(np.asarray(img_smpl.camera_bbox, np.float32)[:F]),
-            jnp.asarray(np.asarray(img_smpl.center, np.float32)[:F]),
-            jnp.asarray(np.asarray(img_smpl.size, np.float32)[:F]),
-            jnp.asarray(np.asarray(img_smpl.scale, np.float32)[:F]),
+            jnp.asarray(prep.hmr_betas),
+            jnp.asarray(prep.hmr_root_orient), trans,
+            jnp.asarray(prep.camera_bbox),
+            jnp.asarray(prep.cam_center),
+            jnp.asarray(prep.cam_size),
+            jnp.asarray(prep.cam_scale),
             img_mask,
         )
         best_a = int(np.argmin(np.asarray(rf_out["metrics"]["reproject"])))

@@ -157,7 +157,27 @@ class ReprojectionStage:
                 "metrics": {"chamfer": cham_err, "reproject": reproj_err},
             }
 
+        self._run_single = run_single
         return jax.jit(jax.vmap(run_single, in_axes=(0,) + (None,) * 12))
+
+    @functools.cached_property
+    def _run_lanes(self):
+        """Every argument lane-batched (lane = sequence x angle) — the
+        multi-sequence sweep's form of the multi-angle search
+        (``multimodal.py:253-335`` over ``test/test.py:50-147``)."""
+        _ = self._run  # bind self._run_single
+        return jax.jit(jax.vmap(self._run_single, in_axes=(0,) * 13))
+
+    def lanes(self, angles_l, markers_l, weights_l, o_pose_l, betas0_l, hmr_betas_l,
+              hmr_root_l, trans0_l, pred_cam_l, cam_center_l, cam_size_l, cam_scale_l,
+              img_mask_l):
+        """Per-lane solve; callers slice the lane axis to a stable program
+        width (``parallel.batch_solver.chunked_lanes``)."""
+        return self._run_lanes(
+            angles_l, markers_l, weights_l, o_pose_l, betas0_l, hmr_betas_l,
+            hmr_root_l, trans0_l, pred_cam_l, cam_center_l, cam_size_l, cam_scale_l,
+            img_mask_l,
+        )
 
     def __call__(self, angles, markers, marker_weights, o_pose_body, betas0, hmr_betas,
                  hmr_root_orient, trans0, pred_cam, cam_center, cam_size, cam_scale, img_mask):
