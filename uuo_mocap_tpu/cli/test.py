@@ -79,6 +79,26 @@ def export_stageii(output_filename: str, result: Dict, stage: Optional[str] = No
     return fname
 
 
+def bucket_work_by_shape(work: List[Dict], frame_bucket: int = 64,
+                         marker_bucket: int = 8) -> List[Dict]:
+    """Stable-sort the work list by (frame-bucket, marker-bucket) read from
+    each c3d's 512-byte header, so batches group shape-compatible sequences
+    and a 3 s MOYO window never pads to a neighboring 15 s CMU window
+    (VERDICT r2 item 7).  Directory order is preserved within a bucket, and
+    unreadable files sort last (they fail with a real error at load time).
+    """
+    from uuo_mocap_tpu.data.c3d import peek_c3d_shape
+
+    def key(item):
+        try:
+            F0, M0 = peek_c3d_shape(item["markers_file"])
+        except (OSError, ValueError):
+            return (1 << 30, 1 << 30)
+        return (-(-F0 // frame_bucket), -(-M0 // marker_bucket))
+
+    return sorted(work, key=key)
+
+
 def run_test(
     input_dir: str,
     output_dir: str,
@@ -152,6 +172,9 @@ def run_test(
     if num_files is not None:
         work = work[: num_files + 1]  # the loop solves num_files+1 then returns
 
+    if batch > 1:
+        work = bucket_work_by_shape(work, frame_bucket=64, marker_bucket=8)
+
     # Native thread-pool prefetcher: upcoming c3d files parse while the TPU
     # solves the current sequence (the reference's loop is fully sequential).
     from uuo_mocap_tpu.data.c3d_native import SequencePrefetcher
@@ -195,6 +218,12 @@ def run_test(
         from uuo_mocap_tpu.parallel.batch_solver import MultiSequenceSolver
         from uuo_mocap_tpu.pipeline.multimodal import prepare_sequence
 
+        if save_iterations:
+            print(
+                "[warn] --save_iterations is not supported with --batch > 1 "
+                "(the lane-batched sweep keeps no per-sequence iteration "
+                "journal); run without --batch to record iterations"
+            )
         solver = MultiSequenceSolver(model, config)
         file_count = 0
         for g0 in range(0, len(work), batch):

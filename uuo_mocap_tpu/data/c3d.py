@@ -23,6 +23,24 @@ _BLOCK = 512
 _PROC_INTEL = 84  # 83 + 1
 
 
+def peek_c3d_shape(filename: str) -> "tuple[int, int]":
+    """(num_frames, num_points) from the 512-byte header alone — cheap
+    enough to shape-bucket a whole work list before batching without
+    parsing any point data (the reference has no batch grouping at all;
+    its loop is one file at a time, ``test/test.py:50-147``).
+
+    Frame counts above the 16-bit header limit read as the capped header
+    value; bucketing only needs an approximate key, and per-group padding
+    always uses the true parsed shapes.
+    """
+    with open(filename, "rb") as f:
+        raw = f.read(22)
+    if len(raw) < 22 or raw[1] != 0x50:
+        raise ValueError(f"{filename}: not a C3D file")
+    num_points, _, first_frame, last_frame = struct.unpack_from("<4H", raw, 2)
+    return last_frame - first_frame + 1, num_points
+
+
 def read_c3d(filename: str, use_native: bool = True) -> Dict[str, Any]:
     """Read a C3D file -> dict with ``points`` [F, M, 4] (x, y, z, residual),
     ``rate``, ``units``, ``labels``, ``first_frame``.
