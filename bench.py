@@ -8,24 +8,32 @@ reference protocol — 15 s windows at 30 Hz (450 frames, 41 markers,
 BASELINE.md / Benchmarks.md) — solved end-to-end by the full staged pipeline
 (segmentation -> part fit -> 4-yaw-hypothesis chamfer + marker IK ->
 refinement) through the production multi-sequence sweep
-(``parallel/batch_solver.py``): sequences x hypotheses x subtrees as lanes
-of single batched device programs.  The reference solves the same sweep
-sequentially, one sequence and one hypothesis at a time
+(``parallel/batch_solver.py``): sequences x hypotheses x subtrees stream as
+lanes through fixed-width device programs (16 lanes — the largest width
+stable on a single chip; see Benchmarks.md).  The reference solves the same
+sweep sequentially, one sequence and one hypothesis at a time
 (``test/test.py:50-147``).
 
 Accuracy gates the number: the run only counts if the batch's mean MPJPE
-against the generating parameters stays < 40 mm (matched-accuracy speed,
-BASELINE.json north star).
+against the generating parameters stays <= 25 mm (matched-accuracy speed,
+BASELINE.json north star; tightened from 40 mm per VERDICT r2 item 1).
+
+Budget protocol (VERDICT r2 item 1): the warmup is COMPILE-ONLY — it runs
+the full pipeline on an identically-shaped batch but aborts every L-BFGS
+stage after one device segment (``BatchedLbfgs.abort_after_segments``).
+Every program a full solve executes gets compiled/loaded from the
+persistent cache at a bounded cost; then ONE timed sweep runs.
 
 Honest-baseline protocol (VERDICT r1 item 8):
   * ``vs_baseline`` — measured torch-CPU eager proxy of the reference's hot
-    closure (see ``bench_baseline.py``; 10.26 s/eval) x the eval count this
-    solve actually performed.  The reference stack itself cannot run here
-    (no CUDA, no pytorch3d).
+    closure (see ``bench_baseline.py``; 10.26 s/eval) x the per-lane closure
+    eval count this solve actually performed.  The reference stack itself
+    cannot run here (no CUDA, no pytorch3d).
   * ``vs_baseline_gpu_adjusted`` — the same number divided by 10-50x (an
     eager-torch GPU closure of this size is typically that much faster than
     the CPU proxy; BASELINE.md caveat) — reported as [low, high].
-  * ``ms_per_eval`` and ``lbfgs_evals`` let a skeptic recompute everything.
+  * ``ms_per_eval`` / ``lane_evals`` / ``device_evals`` let a skeptic
+    recompute everything (device_evals >= lane_evals: lockstep ride-along).
 """
 import json
 import os
@@ -41,15 +49,29 @@ PROXY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_
 
 F_FRAMES = 450
 N_MARKERS = 41
-# sequences per sweep: 8-sequence (32-lane) programs crash the TPU worker
-# on this tunnel (repeatable "worker crashed" in the first chamfer segment;
-# 4-lane and 8-lane programs run fine) — 4 sequences x 4 hypotheses = 16
-# lanes is the largest validated batch on this chip
-BATCH = 4
-GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
+# sequences per sweep; lanes STREAM through 16-wide device programs
+# (solver/lbfgs.py streaming driver), so the batch is no longer capped by
+# the largest stable program width (32-wide programs crash the TPU worker
+# on this tunnel — Benchmarks.md)
+BATCH = int(os.environ.get("UUO_BENCH_BATCH", "8"))
+LANE_WIDTH = int(os.environ.get("UUO_BENCH_LANE_WIDTH", "16"))
+MPJPE_GATE_MM = 25.0
+GPU_ADJUST = (10.0, 50.0)
+PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []  # eager-torch GPU vs CPU-proxy speed range
 
 
-def make_batch(model, seed0):
+def make_batch(model, seed0, easy=False):
+    """Synthetic batch generation runs on the CPU backend: the generators
+    are eager op-by-op code, and every tiny eager op costs a ~0.4 s XLA
+    compile on the tunneled TPU backend (hundreds of them blew the round-2
+    bench budget before the solve even started)."""
+    import jax
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _make_batch_inner(model, seed0, easy)
+
+
+def _make_batch_inner(model, seed0, easy):
     from uuo_mocap_tpu.data.img_smpl import ImgSmpl
     from uuo_mocap_tpu.data.markers import ArrayMarkers
     from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, random_pose_sequence
@@ -61,9 +83,12 @@ def make_batch(model, seed0):
         markers = generate_markers(
             model, gt, num_markers=N_MARKERS, seed=seed0 + 3 * q + 1, occlusion_rate=0.05
         )
-        prior = perturb_params(
-            gt, seed=seed0 + 3 * q + 2, pose_noise=0.05, trans_noise=0.08, betas_noise=0.2
-        )
+        if easy:  # warmup: prior == gt, so descents converge almost instantly
+            prior = gt
+        else:
+            prior = perturb_params(
+                gt, seed=seed0 + 3 * q + 2, pose_noise=0.05, trans_noise=0.08, betas_noise=0.2
+            )
         preps.append(prepare_sequence(
             ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(markers.points)),
             frame_bucket=None,
@@ -73,6 +98,13 @@ def make_batch(model, seed0):
 
 
 def batch_mpjpe_mm(model, results, gts):
+    import jax
+
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _batch_mpjpe_inner(model, results, gts)
+
+
+def _batch_mpjpe_inner(model, results, gts):
     import jax.numpy as jnp
 
     from uuo_mocap_tpu.body.model import lbs_forward
@@ -109,16 +141,28 @@ def main():
 
     model = synthetic_body_model()
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "video_mocap.yaml"))
+    cfg["parallel"] = {"lane_width": LANE_WIDTH, "part_lane_width": 64, "pad_width": True}
     solver = MultiSequenceSolver(model, cfg)
+    stage_solvers = (
+        solver.stages._chamfer_solver, solver.stages._marker_solver, solver.part_fitter._solver,
+    )
 
-    # warmup batch compiles every stage program (incl. repack buckets on its
-    # convergence path); the timed run uses different sequences
-    _, preps_w = make_batch(model, seed0=1000)
-    solver.solve_prepared(preps_w)
+    # ---- compile-only warmup: identical shapes, one device segment per
+    # stage (programs are the same as the timed run's — opts unchanged)
+    t_w = time.time()
+    gts_w, preps_w = make_batch(model, seed0=1000, easy=True)
+    for s in stage_solvers:
+        s.abort_after_segments = 1
+    out_w = solver.solve_prepared(preps_w, print_options=PRINT_OPTS)
+    for s in stage_solvers:
+        s.abort_after_segments = None
+    batch_mpjpe_mm(model, out_w["results"], gts_w)  # warm the metric programs
+    warmup_s = time.time() - t_w
 
+    # ---- ONE timed sweep
     gts, preps = make_batch(model, seed0=2000)
     t0 = time.time()
-    out = solver.solve_prepared(preps)
+    out = solver.solve_prepared(preps, print_options=PRINT_OPTS)
     dt = time.time() - t0
 
     total_frames = BATCH * F_FRAMES
@@ -126,6 +170,7 @@ def main():
     errs = batch_mpjpe_mm(model, out["results"], gts)
     err = float(np.mean(errs))
     evals = int(out["lbfgs_evals"])
+    device_evals = sum(s.get("device_evals", 0) for s in out["eval_stats"].values())
 
     vs_baseline = None
     vs_gpu = None
@@ -148,14 +193,20 @@ def main():
                 "vs_baseline": vs_baseline,
                 "detail": {
                     "batch_sequences": BATCH,
+                    "lane_width": LANE_WIDTH,
                     "solve_time_s": round(dt, 1),
+                    "warmup_s": round(warmup_s, 1),
                     "frames_per_sec_per_sequence": round(fps / BATCH, 2),
+                    "mpjpe_gate_mm": MPJPE_GATE_MM,
+                    "accuracy_gate_passed": bool(err <= MPJPE_GATE_MM),
                     "lbfgs_evals": evals,
+                    "device_evals": device_evals,
                     "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
                     "mpjpe_mm_per_sequence": [round(e, 1) for e in errs],
                     "vs_baseline_gpu_adjusted": vs_gpu,
                     "vs_baseline_note": "CPU-proxy denominator; GPU-adjusted range divides by 10-50x (BASELINE.md)",
                     "stage_times_s": out.get("stage_times_s"),
+                    "eval_stats": out.get("eval_stats"),
                 },
             }
         )
