@@ -52,8 +52,11 @@ N_MARKERS = 41
 # sequences per sweep; lanes STREAM through 16-wide device programs
 # (solver/lbfgs.py streaming driver), so the batch is no longer capped by
 # the largest stable program width (32-wide programs crash the TPU worker
-# on this tunnel — Benchmarks.md)
-BATCH = int(os.environ.get("UUO_BENCH_BATCH", "8"))
+# on this tunnel — Benchmarks.md).  The OFFICIAL batch is 4: the driver's
+# capture budget bounds total bench wall-clock, and the timed sweep scales
+# linearly with the batch at a fixed lane width (raise UUO_BENCH_BATCH for
+# scale experiments)
+BATCH = int(os.environ.get("UUO_BENCH_BATCH", "4"))
 LANE_WIDTH = int(os.environ.get("UUO_BENCH_LANE_WIDTH", "16"))
 MPJPE_GATE_MM = 25.0
 GPU_ADJUST = (10.0, 50.0)
@@ -78,7 +81,10 @@ def _make_batch_inner(model, seed0, easy):
     from uuo_mocap_tpu.pipeline.multimodal import prepare_sequence
 
     gts, preps = [], []
-    for q in range(BATCH):
+    # warmup (easy): ONE generated sequence tiled BATCH times — the warmup
+    # only compiles programs, so identical lanes are fine and generation is
+    # the warmup's dominant host cost
+    for q in range(1 if easy else BATCH):
         gt = random_pose_sequence(F_FRAMES, seed=seed0 + 3 * q, yaw=0.9, travel=0.5)
         markers = generate_markers(
             model, gt, num_markers=N_MARKERS, seed=seed0 + 3 * q + 1, occlusion_rate=0.05
@@ -94,6 +100,9 @@ def _make_batch_inner(model, seed0, easy):
             frame_bucket=None,
         ))
         gts.append(gt)
+    if easy:
+        gts = gts * BATCH
+        preps = preps * BATCH
     return gts, preps
 
 
@@ -104,36 +113,44 @@ def batch_mpjpe_mm(model, results, gts):
         return _batch_mpjpe_inner(model, results, gts)
 
 
+_JOINTS_JIT = {}
+
+
+def _joints_fn(model):
+    """Jitted (pose, betas, root, trans) -> [F, 22, 3] joints — the eager
+    per-op LBS costs minutes per batch on this host."""
+    import jax
+
+    fn = _JOINTS_JIT.get(id(model))
+    if fn is None:
+        from uuo_mocap_tpu.body.model import lbs_forward
+
+        fn = jax.jit(lambda p, b, r, t: lbs_forward(model, p, b, r, t)["joints"][:, :22])
+        _JOINTS_JIT[id(model)] = fn
+    return fn
+
+
 def _batch_mpjpe_inner(model, results, gts):
     import jax.numpy as jnp
 
-    from uuo_mocap_tpu.body.model import lbs_forward
-
+    joints = _joints_fn(model)
     errs = []
     for r, gt in zip(results, gts):
         F = gt.trans.shape[0]
-        out_gt = lbs_forward(
-            model, gt.pose_body, jnp.broadcast_to(gt.betas, (F, 10)), gt.root_orient, gt.trans
-        )
-        out_s = lbs_forward(
-            model,
+        j_gt = joints(gt.pose_body, jnp.broadcast_to(gt.betas, (F, 10)), gt.root_orient, gt.trans)
+        j_s = joints(
             jnp.asarray(r["pose_body"]),
             jnp.asarray(r["betas"]),
             jnp.asarray(r["root_orient"]),
             jnp.asarray(r["trans"]),
         )
-        errs.append(float(jnp.mean(jnp.linalg.norm(
-            out_s["joints"][:, :22] - out_gt["joints"][:, :22], axis=-1
-        ))) * 1e3)
+        errs.append(float(jnp.mean(jnp.linalg.norm(j_s - j_gt, axis=-1))) * 1e3)
     return errs
 
 
 def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from uuo_mocap_tpu.body.synthetic import synthetic_body_model
     from uuo_mocap_tpu.data.config import load_config
@@ -147,20 +164,29 @@ def main():
         solver.stages._chamfer_solver, solver.stages._marker_solver, solver.part_fitter._solver,
     )
 
-    # ---- compile-only warmup: identical shapes, one device segment per
-    # stage (programs are the same as the timed run's — opts unchanged)
+    # ---- generate BOTH batches before enabling the persistent cache: the
+    # datagen's CPU-backend programs compile in ~2 s but take minutes when
+    # the shared cache dir is active (mismatched XLA:CPU AOT entries trigger
+    # a pathological load path); the TPU solver programs — the expensive
+    # compiles the cache exists for — all build after this point
     t_w = time.time()
     gts_w, preps_w = make_batch(model, seed0=1000, easy=True)
+    gts, preps = make_batch(model, seed0=2000)
+    gen_w_s = time.time() - t_w
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # ---- compile-only warmup: identical shapes, one device segment per
+    # stage (programs are the same as the timed run's — opts unchanged)
     for s in stage_solvers:
         s.abort_after_segments = 1
     out_w = solver.solve_prepared(preps_w, print_options=PRINT_OPTS)
     for s in stage_solvers:
         s.abort_after_segments = None
-    batch_mpjpe_mm(model, out_w["results"], gts_w)  # warm the metric programs
+    batch_mpjpe_mm(model, out_w["results"][:1], gts_w[:1])  # warm the metric programs
     warmup_s = time.time() - t_w
 
-    # ---- ONE timed sweep
-    gts, preps = make_batch(model, seed0=2000)
+    # ---- ONE timed sweep (batch generated above, before the cache config)
     t0 = time.time()
     out = solver.solve_prepared(preps, print_options=PRINT_OPTS)
     dt = time.time() - t0
@@ -196,6 +222,8 @@ def main():
                     "lane_width": LANE_WIDTH,
                     "solve_time_s": round(dt, 1),
                     "warmup_s": round(warmup_s, 1),
+                    "datagen_s": round(gen_w_s, 1),
+                    "warmup_stage_times_s": out_w.get("stage_times_s"),
                     "frames_per_sec_per_sequence": round(fps / BATCH, 2),
                     "mpjpe_gate_mm": MPJPE_GATE_MM,
                     "accuracy_gate_passed": bool(err <= MPJPE_GATE_MM),

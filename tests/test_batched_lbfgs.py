@@ -141,6 +141,25 @@ def test_streaming_matches_unstreamed():
     assert b.last_run_stats["device_evals"] >= b.last_run_stats["lane_evals"] * W // L
 
 
+def test_drain_shrink_matches():
+    """drain_shrink halves the working set once the queue empties; results
+    stay bit-equal (lanes are independent; duplicates only get replaced by
+    narrower programs)."""
+    L, W = 10, 4
+    targets = jnp.asarray(RNG.randn(L, 6).astype(np.float32) * np.linspace(0.1, 4.0, L)[:, None])
+    p0 = {"x": jnp.zeros((L, 6))}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    a = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=120), segment_size=6)
+    pa, ra = a.run(p0, {"target": targets}, shared)
+    b = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=120), segment_size=6,
+                     max_width=W, drain_shrink=True)
+    pb, rb = b.run(p0, {"target": targets}, shared)
+    np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pb["x"]))
+    np.testing.assert_array_equal(np.asarray(ra.num_evals), np.asarray(rb.num_evals))
+    assert b.last_run_stats["width"] <= W  # drained below the cap
+
+
 def test_pad_width_matches():
     """L < W with pad_width: the working set pads up to W with duplicate
     lanes so a canonical-width program can be reused; results unchanged."""

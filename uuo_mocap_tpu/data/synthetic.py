@@ -19,7 +19,6 @@ import numpy as np
 
 from uuo_mocap_tpu.body.model import BodyModel, lbs_forward
 from uuo_mocap_tpu.ops import rotations as rot
-from uuo_mocap_tpu.ops.geometry import vertex_normals
 from uuo_mocap_tpu.pipeline.stages import SmplParams
 from uuo_mocap_tpu.settings import MARKER_DISTANCE
 
@@ -78,6 +77,51 @@ class SyntheticMarkers(NamedTuple):
     gt: SmplParams
 
 
+_SURFACE_JIT: dict = {}
+
+
+def _surface_points_fn(model: BodyModel):
+    """Per-model jitted (pose, betas, root, trans, vid, offset) -> marker
+    points: LBS forward + vertex normals + normal offset at the sampled
+    vertex ids.  One compile per (model, F, M) shape, cached."""
+    import jax
+
+    key = id(model)
+    fn = _SURFACE_JIT.get(key)
+    if fn is None:
+        # pin the closed-over model tensors to the CPU backend: jit resolves
+        # the compile target from committed constants, and a TPU-committed
+        # model would drag this scatter-heavy program onto the accelerator
+        # where it compiles pathologically (minutes on the axon tunnel) —
+        # generation is host-side data tooling, not solve path
+        import dataclasses as _dc
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        model = _dc.replace(model, **{
+            name: jax.device_put(jnp.asarray(getattr(model, name)), cpu)
+            for name in ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
+        })
+        faces = jax.device_put(jnp.asarray(np.asarray(model.faces)), cpu)
+
+        def impl(pose, betas, root, trans, vid, offset):
+            out = lbs_forward(model, pose, betas, root, trans)
+            verts = out["vertices"]  # [F, V, 3]
+            # area-weighted vertex normals, scatter-add form (the host-numpy
+            # ops.geometry.vertex_normals is unjittable; generation runs on
+            # the CPU backend where XLA scatters are cheap)
+            t0, t1, t2 = (verts[:, faces[:, k]] for k in range(3))
+            face_n = jnp.cross(t1 - t0, t2 - t0)  # [F, T, 3]
+            vn = jnp.zeros_like(verts)
+            for k in range(3):
+                vn = vn.at[:, faces[:, k]].add(face_n)
+            vn = vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+            return verts[:, vid] + vn[:, vid] * offset
+
+        fn = jax.jit(impl)
+        _SURFACE_JIT[key] = fn
+    return fn
+
+
 def generate_markers(
     model: BodyModel,
     params: SmplParams,
@@ -97,12 +141,15 @@ def generate_markers(
     rng = np.random.RandomState(seed)
     F = params.trans.shape[0]
     betas = jnp.broadcast_to(params.betas, (F, 10))
-    out = lbs_forward(model, params.pose_body, betas, params.root_orient, params.trans)
-    verts = out["vertices"]  # [F, V, 3]
 
     vid = rng.choice(model.num_vertices, num_markers, replace=False)
-    normals = vertex_normals(verts, jnp.asarray(model.faces))  # [F, V, 3]
-    points = verts[:, vid] + normals[:, vid] * surface_offset  # [F, M, 3]
+    # jitted surface sampling: the eager op-by-op LBS + normals at [F, V]
+    # costs minutes per 450-frame sequence on a 1-vCPU host (and ~0.4 s/op
+    # in XLA compiles on the tunneled TPU backend)
+    points = _surface_points_fn(model)(
+        params.pose_body, betas, params.root_orient, params.trans,
+        jnp.asarray(vid), surface_offset,
+    )  # [F, M, 3]
 
     if position_noise > 0:
         points = points + jnp.asarray(rng.randn(F, num_markers, 3).astype(np.float32) * position_noise)

@@ -110,6 +110,7 @@ class MultiSequenceSolver:
                 solver.pad_width = pad
         if pcfg.get("part_lane_width"):
             self.part_fitter._solver.max_width = int(pcfg["part_lane_width"])
+            self.part_fitter._solver.pad_width = bool(pcfg.get("pad_width", True))
         self._reproj = None  # lazily-built ReprojectionStage
         # jitted prior forward — the eager op-by-op LBS costs hundreds of
         # tiny per-op XLA compiles on the tunneled TPU backend

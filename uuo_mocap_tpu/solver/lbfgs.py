@@ -463,7 +463,7 @@ class BatchedLbfgs:
 
     def __init__(self, fun, opts: LbfgsOptions, segment_size: int = 100,
                  lane_chunk: int | None = None, max_width: int | None = None,
-                 pad_width: bool = False):
+                 pad_width: bool = False, drain_shrink: bool = False):
         self.fun = fun
         self.opts = opts
         self.segment_size = segment_size
@@ -473,6 +473,10 @@ class BatchedLbfgs:
         # pad the working set UP to max_width even when L < max_width, so a
         # smaller batch reuses the canonical-width compiled programs
         self.pad_width = pad_width
+        # shrink the working set by halvings once the refill queue drains
+        # (opt-in: every new width re-traces the segment program — see
+        # drained_width below and Benchmarks.md's counter-result)
+        self.drain_shrink = drain_shrink
         # warmup mode: stop after this many device segments regardless of
         # convergence (results are partial descents).  The segment/init
         # programs are IDENTICAL to a full run (opts are unchanged), so this
@@ -563,17 +567,21 @@ class BatchedLbfgs:
         # enough to threaten HBM; small sets (e.g. 4 hypothesis lanes) stay
         # one vmap
         C = self.lane_chunk
-        eff_chunk = C if (C is not None and W > C and W % C == 0) else None
-        sig = lambda tree: tuple(
-            (str(p), (W,) + a.shape[1:], str(a.dtype))
-            for p, a in jax.tree_util.tree_flatten_with_path(tree)[0]
-        )
-        key = (eff_chunk,) + sig(params0_batch) + sig(lane_args)
-        if key not in self._built:
-            self._built[key] = self._build(
-                jax.tree_util.tree_map(lambda a: a[0], params0_batch), eff_chunk
+
+        def programs_for(width):
+            eff = C if (C is not None and width > C and width % C == 0) else None
+            sig = lambda tree: tuple(
+                (str(p), (width,) + a.shape[1:], str(a.dtype))
+                for p, a in jax.tree_util.tree_flatten_with_path(tree)[0]
             )
-        init_fn, seg_fn, unravel = self._built[key]
+            k = (eff,) + sig(params0_batch) + sig(lane_args)
+            if k not in self._built:
+                self._built[k] = self._build(
+                    jax.tree_util.tree_map(lambda a: a[0], params0_batch), eff
+                )
+            return self._built[k]
+
+        init_fn, seg_fn, unravel = programs_for(W)
 
         import os as _os
         import time as _time
@@ -613,6 +621,21 @@ class BatchedLbfgs:
             if len(live) >= W:
                 return live[:W]
             return _np.concatenate([live, live[_np.arange(W - len(live)) % len(live)]])
+
+        def drained_width():
+            """Once the refill queue is empty, duplicates pad the working
+            set — pure ride-along.  With ``drain_shrink`` on, W halves to
+            the smallest width fitting the live lanes.  MEASURED SLOWER for
+            single-batch runs (Benchmarks.md): every new width re-TRACES the
+            vmapped segment program (tracing is per-process, only compiles
+            persist), costing far more host time than the retired duplicate
+            evals save — opt in only for long-lived processes that solve
+            many batches per stage shape."""
+            live = int((~finished).sum())
+            w = W
+            while w // 2 >= max(live, 1):
+                w //= 2
+            return w
 
         active = pick_active()
         prev_active = None
@@ -660,6 +683,11 @@ class BatchedLbfgs:
                 break
             if self.abort_after_segments and segments >= self.abort_after_segments:
                 break
+            if self.drain_shrink:
+                w_new = drained_width()
+                if w_new < W:
+                    W = w_new
+                    init_fn, seg_fn, unravel = programs_for(W)
             new_active = pick_active()
             if not _np.array_equal(new_active, active):
                 active = new_active
