@@ -59,8 +59,8 @@ N_MARKERS = 41
 BATCH = int(os.environ.get("UUO_BENCH_BATCH", "4"))
 LANE_WIDTH = int(os.environ.get("UUO_BENCH_LANE_WIDTH", "16"))
 MPJPE_GATE_MM = 25.0
-GPU_ADJUST = (10.0, 50.0)
-PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []  # eager-torch GPU vs CPU-proxy speed range
+GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
+PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []
 
 
 def make_batch(model, seed0, easy=False):
@@ -118,15 +118,17 @@ _JOINTS_JIT = {}
 
 def _joints_fn(model):
     """Jitted (pose, betas, root, trans) -> [F, 22, 3] joints — the eager
-    per-op LBS costs minutes per batch on this host."""
+    per-op LBS costs minutes per batch on this host.  Cached per model with
+    an identity check (a bare id key could alias after GC)."""
     import jax
 
-    fn = _JOINTS_JIT.get(id(model))
-    if fn is None:
-        from uuo_mocap_tpu.body.model import lbs_forward
+    hit = _JOINTS_JIT.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    from uuo_mocap_tpu.body.model import lbs_forward
 
-        fn = jax.jit(lambda p, b, r, t: lbs_forward(model, p, b, r, t)["joints"][:, :22])
-        _JOINTS_JIT[id(model)] = fn
+    fn = jax.jit(lambda p, b, r, t: lbs_forward(model, p, b, r, t)["joints"][:, :22])
+    _JOINTS_JIT[id(model)] = (model, fn)
     return fn
 
 
@@ -169,15 +171,16 @@ def main():
     # the shared cache dir is active (mismatched XLA:CPU AOT entries trigger
     # a pathological load path); the TPU solver programs — the expensive
     # compiles the cache exists for — all build after this point
-    t_w = time.time()
+    t_g = time.time()
     gts_w, preps_w = make_batch(model, seed0=1000, easy=True)
     gts, preps = make_batch(model, seed0=2000)
-    gen_w_s = time.time() - t_w
+    gen_w_s = time.time() - t_g
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # ---- compile-only warmup: identical shapes, one device segment per
     # stage (programs are the same as the timed run's — opts unchanged)
+    t_w = time.time()
     for s in stage_solvers:
         s.abort_after_segments = 1
     out_w = solver.solve_prepared(preps_w, print_options=PRINT_OPTS)

@@ -86,39 +86,46 @@ def _surface_points_fn(model: BodyModel):
     vertex ids.  One compile per (model, F, M) shape, cached."""
     import jax
 
+    # keyed by id + identity-checked: a bare id key could serve a stale
+    # closure if the model were GC'd and its address reused; the stored
+    # strong reference both pins the id and enables the `is` check
     key = id(model)
-    fn = _SURFACE_JIT.get(key)
-    if fn is None:
-        # pin the closed-over model tensors to the CPU backend: jit resolves
-        # the compile target from committed constants, and a TPU-committed
-        # model would drag this scatter-heavy program onto the accelerator
-        # where it compiles pathologically (minutes on the axon tunnel) —
-        # generation is host-side data tooling, not solve path
-        import dataclasses as _dc
+    hit = _SURFACE_JIT.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
 
-        cpu = jax.local_devices(backend="cpu")[0]
-        model = _dc.replace(model, **{
-            name: jax.device_put(jnp.asarray(getattr(model, name)), cpu)
-            for name in ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
-        })
-        faces = jax.device_put(jnp.asarray(np.asarray(model.faces)), cpu)
+    # pin the closed-over model tensors to the CPU backend: jit resolves
+    # the compile target from committed constants, and a TPU-committed
+    # model would drag this scatter-heavy program onto the accelerator
+    # where it compiles pathologically (minutes on the axon tunnel) —
+    # generation is host-side data tooling, not solve path
+    import dataclasses as _dc
 
-        def impl(pose, betas, root, trans, vid, offset):
-            out = lbs_forward(model, pose, betas, root, trans)
-            verts = out["vertices"]  # [F, V, 3]
-            # area-weighted vertex normals, scatter-add form (the host-numpy
-            # ops.geometry.vertex_normals is unjittable; generation runs on
-            # the CPU backend where XLA scatters are cheap)
-            t0, t1, t2 = (verts[:, faces[:, k]] for k in range(3))
-            face_n = jnp.cross(t1 - t0, t2 - t0)  # [F, T, 3]
-            vn = jnp.zeros_like(verts)
-            for k in range(3):
-                vn = vn.at[:, faces[:, k]].add(face_n)
-            vn = vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
-            return verts[:, vid] + vn[:, vid] * offset
+    cpu = jax.local_devices(backend="cpu")[0]
+    model_cpu = _dc.replace(model, **{
+        name: jax.device_put(jnp.asarray(getattr(model, name)), cpu)
+        for name in ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
+    })
+    faces = jax.device_put(jnp.asarray(np.asarray(model.faces)), cpu)
 
-        fn = jax.jit(impl)
-        _SURFACE_JIT[key] = fn
+    def impl(pose, betas, root, trans, vid, offset):
+        out = lbs_forward(model_cpu, pose, betas, root, trans)
+        verts = out["vertices"]  # [F, V, 3]
+        # area-weighted vertex normals, scatter-add form (the host-numpy
+        # ops.geometry.vertex_normals is unjittable; generation runs on
+        # the CPU backend where XLA scatters are cheap)
+        t0, t1, t2 = (verts[:, faces[:, k]] for k in range(3))
+        face_n = jnp.cross(t1 - t0, t2 - t0)  # [F, T, 3]
+        vn = jnp.zeros_like(verts)
+        for k in range(3):
+            vn = vn.at[:, faces[:, k]].add(face_n)
+        vn = vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+        return verts[:, vid] + vn[:, vid] * offset
+
+    fn = jax.jit(impl)
+    # the stored strong reference to the ORIGINAL model pins its id (no
+    # reuse-after-GC) and backs the `is` check above
+    _SURFACE_JIT[key] = (model, fn)
     return fn
 
 

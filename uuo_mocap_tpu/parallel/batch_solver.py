@@ -102,15 +102,24 @@ class MultiSequenceSolver:
         self.stages = SolveStages(model, config)
         self.part_fitter = PartFitter(model, config)
         pcfg = config.get("parallel") or {}
-        self.lane_width = pcfg.get("lane_width")
+        # lane_width DEFAULTS to 16 — the largest program width validated
+        # stable on this chip (32-wide L-BFGS chamfer programs crash the TPU
+        # worker, Benchmarks.md); without a default the CLI --batch path
+        # would compile crash-width programs for batches > 4 sequences.
+        # pad_width defaults OFF here so small batches (tests, --batch 2)
+        # keep their natural program shapes; bench.py opts in for canonical
+        # width reuse across batch sizes.
+        self.lane_width = int(pcfg.get("lane_width", 16))
+        pad = bool(pcfg.get("pad_width", False))
         if self.lane_width:
-            pad = bool(pcfg.get("pad_width", True))
-            for solver in (self.stages._chamfer_solver, self.stages._marker_solver):
+            for solver in (self.stages._chamfer_solver, self.stages._marker_solver,
+                           self.stages._root_solver):
                 solver.max_width = int(self.lane_width)
                 solver.pad_width = pad
-        if pcfg.get("part_lane_width"):
-            self.part_fitter._solver.max_width = int(pcfg["part_lane_width"])
-            self.part_fitter._solver.pad_width = bool(pcfg.get("pad_width", True))
+        part_w = int(pcfg.get("part_lane_width", 64))
+        if part_w:
+            self.part_fitter._solver.max_width = part_w
+            self.part_fitter._solver.pad_width = pad
         self._reproj = None  # lazily-built ReprojectionStage
         # jitted prior forward — the eager op-by-op LBS costs hundreds of
         # tiny per-op XLA compiles on the tunneled TPU backend
@@ -145,11 +154,10 @@ class MultiSequenceSolver:
         Returns {"results": [per-sequence output dict], "lbfgs_evals",
         "solve_time_s", "stage_times_s", "scores"}.
 
-        The camera-reprojection stages are disabled in the shipped config
-        (``num_iters: 0``) and need per-sequence camera streams that
-        ``PreparedSequence`` does not carry — configs that enable them
-        solve through the sequential path (``cli/test.py`` without
-        ``--batch``).
+        Camera-reprojection stages run as sequence x angle lanes using the
+        camera streams ``PreparedSequence`` carries; sequences whose
+        ``ImgSmpl`` had no HMR detections (all-zero bbox) have no camera and
+        raise a ValueError if the config enables reprojection.
         """
         t_start = time.time()
         cfg = self.config
@@ -190,8 +198,12 @@ class MultiSequenceSolver:
             if not st:
                 return
             if name in eval_stats:
+                cur = eval_stats[name]
                 for k, v in st.items():
-                    eval_stats[name][k] = eval_stats[name].get(k, 0) + v
+                    if k in ("width", "lanes"):  # shape facts, not additive
+                        cur[k] = v
+                    else:
+                        cur[k] = cur.get(k, 0) + v
             else:
                 eval_stats[name] = st
 
@@ -448,12 +460,14 @@ class MultiSequenceSolver:
                 log(f"Batch[{Q}]: refinement {rep + 1}/{cfg['stage_repeats']}...")
                 with timed("nearest_final"):
                     if part_gran:
-                        attach_q = stages.nearest_points_lanes(
-                            markers_b, params_q, img_mask_b, labels_mode_b
+                        attach_q = chunked_lanes(
+                            stages.nearest_points_lanes, W,
+                            markers_b, params_q, img_mask_b, labels_mode_b,
                         )
                     else:
-                        attach_q = stages.nearest_points_lanes_nolabel(
-                            markers_b, params_q, img_mask_b
+                        attach_q = chunked_lanes(
+                            stages.nearest_points_lanes_nolabel, W,
+                            markers_b, params_q, img_mask_b,
                         )
                     jax.block_until_ready(attach_q.vertex_ids)
                 if cfg.get("recompute_marker_labels"):

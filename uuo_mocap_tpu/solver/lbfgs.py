@@ -563,6 +563,7 @@ class BatchedLbfgs:
             W = int(self.max_width)
         else:
             W = L
+        W0 = W  # initial width (drain_shrink floor logic)
         # group lanes through lax.map only when the working set is big
         # enough to threaten HBM; small sets (e.g. 4 hypothesis lanes) stay
         # one vmap
@@ -610,7 +611,6 @@ class BatchedLbfgs:
         finished = _np.zeros(L, bool)
         evals_prev = _np.asarray(pool.n_evals).astype(_np.int64)
         device_evals = int(W * (len(pool_chunks)))  # init evals burned
-        lane_evals_init = int(evals_prev.sum())
         segments = 0
         refills = 0
 
@@ -683,7 +683,11 @@ class BatchedLbfgs:
                 break
             if self.abort_after_segments and segments >= self.abort_after_segments:
                 break
-            if self.drain_shrink:
+            # pad_width exists to REUSE the canonical-width program for
+            # small batches — shrinking below it would re-trace the very
+            # program padding avoided, so drain_shrink only engages when
+            # the batch genuinely overflowed the cap (L > initial width)
+            if self.drain_shrink and L > W0:
                 w_new = drained_width()
                 if w_new < W:
                     W = w_new
