@@ -175,3 +175,49 @@ def test_pad_width_matches():
     pb, _ = b.run(p0, {"target": targets}, shared)
     assert b.last_run_stats["width"] == W
     np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pb["x"]))
+
+
+def test_prepare_constant_aux_is_identical():
+    """With a constant aux that doesn't affect the objective, the prepare
+    (rank-freeze) path must walk the exact same trajectory; only the
+    per-iteration re-evaluation changes the eval counter."""
+    L = 5
+    targets = jnp.asarray(RNG.randn(L, 6).astype(np.float32))
+    p0 = {"x": jnp.zeros((L, 6))}
+    lanes = {"target": targets}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    a = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10)
+    pa, ra = a.run(p0, lanes, shared)
+
+    def fun_aux(p, lane, shared, aux):
+        return quad_fun(p, lane, shared) + 0.0 * aux
+
+    b = BatchedLbfgs(fun_aux, LbfgsOptions(max_iter=60), segment_size=10,
+                     prepare=lambda p, lane, shared: jnp.zeros(()))
+    pb, rb = b.run(p0, lanes, shared)
+    np.testing.assert_allclose(np.asarray(pa["x"]), np.asarray(pb["x"]), atol=1e-7)
+    assert (np.asarray(rb.num_evals) >= np.asarray(ra.num_evals)).all()
+
+
+def test_prepare_piecewise_objective_converges():
+    """aux = nearest anchor id, recomputed per iteration (the rank-freeze
+    pattern): the descent must land on the true nearest anchor even though
+    line-search trials hold the assignment fixed."""
+    anchors = jnp.asarray(np.array([[-3.0, 0.0], [2.0, 1.0], [5.0, -2.0]], np.float32))
+
+    def prepare(p, lane, shared):
+        d = jnp.sum((anchors - p["x"][None, :]) ** 2, axis=-1)
+        return jnp.argmin(d)
+
+    def fun(p, lane, shared, aux):
+        return jnp.sum((p["x"] - anchors[aux]) ** 2) + shared["bias"]
+
+    p0 = {"x": jnp.asarray(np.array([[1.4, 0.9], [4.0, -1.0]], np.float32))}
+    lanes = {"target": jnp.zeros((2, 1))}
+    shared = {"bias": jnp.asarray(0.0)}
+    solver = BatchedLbfgs(fun, LbfgsOptions(max_iter=50), segment_size=10, prepare=prepare)
+    p_opt, res = solver.run(p0, lanes, shared)
+    out = np.asarray(p_opt["x"])
+    np.testing.assert_allclose(out[0], np.array([2.0, 1.0]), atol=1e-4)   # nearest to (1.4, .9)
+    np.testing.assert_allclose(out[1], np.array([5.0, -2.0]), atol=1e-4)  # nearest to (4, -1)

@@ -141,11 +141,19 @@ def _sparse_chamfer(model, sp: SmplParams, markers, weights, frame_valid=None):
     agreement ~5e-9).  MEASURED: canonical 4x450x41x6890 closure fwd+bwd
     33.4 -> 15.0 ms.
     """
-    F = markers.shape[0]
     sp_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, sp)
     verts_ng = _forward(model, sp_ng)["vertices"]  # [F, V, 3], no grad
     idx = _ranked_nearest(markers, verts_ng)  # [F, M]
+    return _sparse_chamfer_at(model, sp, markers, weights, idx)
 
+
+def _sparse_chamfer_at(model, sp: SmplParams, markers, weights, idx):
+    """The gathered-forward chamfer value at FIXED nearest-vertex ids —
+    the differentiable half of ``_sparse_chamfer``, exposed separately so
+    the rank-per-iteration mode (``optimizer.rank_per_iteration``) can
+    reuse one ranking across all line-search evaluations of an L-BFGS
+    step."""
+    F = markers.shape[0]
     betas_b = jnp.broadcast_to(sp.betas, (F, 10))
     pts = lbs_forward_at(model, sp.pose_body, betas_b, sp.root_orient, sp.trans, idx)["points"]
     d2 = jnp.sum((markers - pts) ** 2, axis=-1)  # [F, M]
@@ -279,8 +287,26 @@ class SolveStages:
         # sparse-gradient path: exact when every active loss avoids dense
         # vertex tensors (the shipped config: full_chamfer + regs)
         sparse = single_dir and set(losses) <= _SPARSE_SAFE_LOSSES
+        # rank-freeze (optimizer.rank_per_iteration): compute the nearest-
+        # vertex ranking once per L-BFGS iteration instead of once per
+        # line-search evaluation — the dense no-grad forward + argmin is the
+        # dominant share of the closure, and line searches average ~2.5
+        # evaluations per iteration.  At convergence the ranking is
+        # stationary, so the fixed point matches the per-eval objective's.
+        rank_freeze = sparse and bool(cfg["optimizer"].get("rank_per_iteration", False))
 
-        def fun(p, lane, shared):
+        def params_to_smpl(p, d):
+            z_root = apply_root(p["z"], d["root_orient0"])
+            pose = rot.rotation_6d_to_matrix(p["pose6d"])
+            return SmplParams(pose, p["betas"], z_root, p["trans"])
+
+        def prepare(p, lane, shared):
+            d = _data(lane, shared)
+            sp = params_to_smpl(p, d)
+            verts = _forward(model, sp)["vertices"]  # no grad: aux path
+            return _ranked_nearest(d["markers"], verts)
+
+        def fun(p, lane, shared, idx=None):
             d = _data(lane, shared)
             root_orient0 = d["root_orient0"]
             z_root = apply_root(p["z"], root_orient0)
@@ -289,8 +315,12 @@ class SolveStages:
             total = 0.0
             if sparse:
                 if "full_chamfer" in losses:
-                    total += losses["full_chamfer"] * _sparse_chamfer(
-                        model, sp, d["markers"], d["weights"])
+                    if idx is not None:
+                        total += losses["full_chamfer"] * _sparse_chamfer_at(
+                            model, sp, d["markers"], d["weights"], idx)
+                    else:
+                        total += losses["full_chamfer"] * _sparse_chamfer(
+                            model, sp, d["markers"], d["weights"])
             else:
                 out = _forward(model, sp)
                 if "part_chamfer" in losses:
@@ -322,7 +352,8 @@ class SolveStages:
         # grouped variant of this program crashed the TPU worker at 32 lanes
         # (compile blow-up of map x vmap x nested while_loops).
         return BatchedLbfgs(fun, _stage_opts(cfg, "chamfer", lr_override=0.1),
-                            segment_size=SEGMENT_SIZE)
+                            segment_size=SEGMENT_SIZE,
+                            prepare=prepare if rank_freeze else None)
 
     def chamfer_stage_batched(self, markers, weights, o_pose_body, o_betas,
                               pose0, betas0, root0_batch, trans0, marker_labels_mode,

@@ -242,9 +242,19 @@ def _strong_wolfe(eval_fd, x, t, d, f, g, gtd, opts: LbfgsOptions):
     return out["br_f"][low], out["br_g"][low], out["br_t"][low], n_evals
 
 
-def lbfgs_init(fun: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray, opts: LbfgsOptions) -> LbfgsState:
-    """Evaluate f/g at x0 and build the initial optimizer state."""
-    f0, g0 = jax.value_and_grad(fun)(x0)
+def lbfgs_init(fun: Callable[..., jnp.ndarray], x0: jnp.ndarray, opts: LbfgsOptions,
+               prepare: Callable[[jnp.ndarray], object] | None = None) -> LbfgsState:
+    """Evaluate f/g at x0 and build the initial optimizer state.
+
+    ``prepare`` (optional): ``prepare(x) -> aux`` computes non-differentiated
+    auxiliary data (e.g. nearest-vertex ids) once per iterate; ``fun`` then
+    takes ``(x, aux)``.  See ``make_lbfgs_step``.
+    """
+    if prepare is not None:
+        aux0 = prepare(x0)
+        f0, g0 = jax.value_and_grad(lambda x: fun(x, aux0))(x0)
+    else:
+        f0, g0 = jax.value_and_grad(fun)(x0)
     n = x0.shape[0]
     H = opts.history_size
     dtype = x0.dtype
@@ -256,17 +266,35 @@ def lbfgs_init(fun: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray, opts:
     )
 
 
-def make_lbfgs_step(fun: Callable[[jnp.ndarray], jnp.ndarray], opts: LbfgsOptions):
+def make_lbfgs_step(fun: Callable[..., jnp.ndarray], opts: LbfgsOptions,
+                    prepare: Callable[[jnp.ndarray], object] | None = None):
     """One full L-BFGS iteration (direction + strong-Wolfe line search +
-    history/convergence update): ``step(state) -> state``."""
-    value_and_grad = jax.value_and_grad(fun)
-    H = opts.history_size
+    history/convergence update): ``step(state) -> state``.
 
-    def eval_at(x):
-        return value_and_grad(x)
+    With ``prepare``, each iteration recomputes ``aux = prepare(x)`` at the
+    accepted iterate, re-evaluates (f, g) under that aux (one extra closure
+    eval, counted), and holds aux FIXED for every line-search trial — the
+    rank-freeze optimization: the expensive non-differentiated part of the
+    objective (dense-forward nearest-vertex ranking) runs once per
+    iteration instead of once per evaluation.  All quantities within an
+    iteration (direction, Wolfe conditions, curvature pair y = g_new - g)
+    are consistent under the same aux; at convergence aux is stationary, so
+    the fixed point satisfies the original objective's conditions.
+    """
+    H = opts.history_size
 
     def body(state: LbfgsState) -> LbfgsState:
         (x, f, g, f_prev, S, Y, rho, hist, n_iter, n_evals, _done) = state
+        if prepare is not None:
+            aux = prepare(x)
+            f, g = jax.value_and_grad(lambda x_: fun(x_, aux))(x)
+            n_evals = n_evals + 1
+
+            def eval_at(x_):
+                return jax.value_and_grad(lambda xx: fun(xx, aux))(x_)
+        else:
+            def eval_at(x_):
+                return jax.value_and_grad(fun)(x_)
         dtype = x.dtype
 
         # ---- direction: two-loop recursion ----
@@ -361,10 +389,11 @@ def make_lbfgs_step(fun: Callable[[jnp.ndarray], jnp.ndarray], opts: LbfgsOption
     return body
 
 
-def run_lbfgs_segment(fun, state: LbfgsState, opts: LbfgsOptions, num_iters: int) -> LbfgsState:
+def run_lbfgs_segment(fun, state: LbfgsState, opts: LbfgsOptions, num_iters: int,
+                      prepare=None) -> LbfgsState:
     """Advance the optimizer by up to ``num_iters`` iterations (or until
     done / max_iter) as one bounded device program.  vmap-compatible."""
-    step = make_lbfgs_step(fun, opts)
+    step = make_lbfgs_step(fun, opts, prepare=prepare)
 
     def cond(c):
         s, k = c
@@ -463,8 +492,13 @@ class BatchedLbfgs:
 
     def __init__(self, fun, opts: LbfgsOptions, segment_size: int = 100,
                  lane_chunk: int | None = None, max_width: int | None = None,
-                 pad_width: bool = False, drain_shrink: bool = False):
+                 pad_width: bool = False, drain_shrink: bool = False,
+                 prepare=None):
         self.fun = fun
+        # optional rank-freeze hook: prepare(params, lane, shared) -> aux
+        # computed once per L-BFGS iteration; fun then takes
+        # (params, lane, shared, aux).  See make_lbfgs_step.
+        self.prepare = prepare
         self.opts = opts
         self.segment_size = segment_size
         self.lane_chunk = lane_chunk
@@ -512,18 +546,32 @@ class BatchedLbfgs:
         _, unravel = ravel_pytree(params_single)
         opts = self.opts
         fun = self.fun
+        prepare = self.prepare
 
-        def flat_fun(x, lane_arg, shared):
-            return fun(unravel(x), lane_arg, shared)
+        if prepare is None:
+            def init_one(params, lane_arg, shared):
+                x0, _ = ravel_pytree(params)
+                return lbfgs_init(lambda x: fun(unravel(x), lane_arg, shared), x0, opts)
 
-        def init_one(params, lane_arg, shared):
-            x0, _ = ravel_pytree(params)
-            return lbfgs_init(lambda x: flat_fun(x, lane_arg, shared), x0, opts)
+            def seg_one(state, lane_arg, shared):
+                return run_lbfgs_segment(
+                    lambda x: fun(unravel(x), lane_arg, shared),
+                    state, opts, self.segment_size,
+                )
+        else:
+            def init_one(params, lane_arg, shared):
+                x0, _ = ravel_pytree(params)
+                return lbfgs_init(
+                    lambda x, aux: fun(unravel(x), lane_arg, shared, aux), x0, opts,
+                    prepare=lambda x: prepare(unravel(x), lane_arg, shared),
+                )
 
-        def seg_one(state, lane_arg, shared):
-            return run_lbfgs_segment(
-                lambda x: flat_fun(x, lane_arg, shared), state, opts, self.segment_size
-            )
+            def seg_one(state, lane_arg, shared):
+                return run_lbfgs_segment(
+                    lambda x, aux: fun(unravel(x), lane_arg, shared, aux),
+                    state, opts, self.segment_size,
+                    prepare=lambda x: prepare(unravel(x), lane_arg, shared),
+                )
 
         vmap_init = jax.vmap(init_one, in_axes=(0, 0, None))
         vmap_seg = jax.vmap(seg_one, in_axes=(0, 0, None))
