@@ -150,8 +150,38 @@ def _batch_mpjpe_inner(model, results, gts):
     return errs
 
 
+def _tpu_watchdog(timeout_s: float = 180.0):
+    """The axon TPU plugin HANGS (not errors) when its tunnel relay is dead
+    — observed 2026-08-17 after a width-32 worker crash killed the relay for
+    hours (docs/tpu_worker_crash_width32.md).  A hung bench leaves the
+    driver with no artifact at all; better to emit an explicit
+    tpu_unavailable record and exit."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "metric": "tpu_unavailable",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "detail": {"error": f"TPU backend init did not complete in {timeout_s:.0f}s "
+                                "(tunnel relay down); no measurement possible"},
+        }))
+        os._exit(3)
+
+
 def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
+    _tpu_watchdog()
     import jax
 
     from uuo_mocap_tpu.body.synthetic import synthetic_body_model
