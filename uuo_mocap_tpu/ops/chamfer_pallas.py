@@ -189,6 +189,101 @@ def make_min_grad_y(V: int):
     return run
 
 
+F_BLOCK = 8  # frames per grid program in the ranking kernel
+
+
+def _rank_kernel(x_ref, y_ref, bias_ref, idx_ref):
+    """Frame-blocked argmin-vertex program.
+
+    The round-2 fused (min,argmin) kernel ran ONE grid program per frame
+    (B~1800 at the canonical closure) and was launch-bound: 8.4 ms, exactly
+    matching XLA's fused pass.  This variant amortizes launch overhead by
+    sweeping F_BLOCK frames per program — the per-program vertex block is
+    F_BLOCK x 8 x v_pad (~1.8 MB at V=6890), well inside VMEM with double
+    buffering.
+
+    x_ref   [F_BLOCK, 8, M_PAD]   coords x markers (rows 3.. zero)
+    y_ref   [F_BLOCK, 8, V_pad]   coords x vertices
+    bias_ref[8, V_pad]            per-lane vertex exclusion bias on row 0
+                                  (shared across frames; 1e30 on pad lanes)
+    idx_ref [F_BLOCK, 1, M_PAD]   argmin vertex id (int32)
+    """
+    v_pad = y_ref.shape[2]
+    num_tiles = v_pad // V_TILE
+
+    def frame(f, _):
+        x = x_ref[f, :3, :]  # [3, M]
+        x2 = jnp.sum(x * x, axis=0)  # [M]
+        xt = x.T  # [M, 3]
+
+        def body(t, carry):
+            best_val, best_idx = carry
+            y = y_ref[f, :3, pl.ds(t * V_TILE, V_TILE)]  # [3, T]
+            bias = bias_ref[0, pl.ds(t * V_TILE, V_TILE)]  # [T]
+            y2 = jnp.sum(y * y, axis=0)  # [T]
+            xy = jnp.dot(xt, y, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [M, T]
+            d2 = x2[:, None] + (y2 + bias)[None, :] - 2.0 * xy  # [M, T]
+            tile_min = jnp.min(d2, axis=1)  # [M]
+            tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + t * V_TILE
+            take = tile_min < best_val
+            return jnp.where(take, tile_min, best_val), jnp.where(take, tile_arg, best_idx)
+
+        init = (jnp.full((M_PAD,), 1e30, jnp.float32), jnp.zeros((M_PAD,), jnp.int32))
+        _, best_idx = jax.lax.fori_loop(0, num_tiles, body, init)
+        idx_ref[f, 0, :] = best_idx
+        return 0
+
+    jax.lax.fori_loop(0, F_BLOCK, frame, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ranked_nearest_pallas(markers: jnp.ndarray, verts: jnp.ndarray,
+                          y_bias: jnp.ndarray | None = None,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Frame-blocked no-grad argmin vertex per marker.
+
+    markers [F, M, 3], verts [F, V, 3], y_bias [V] or None -> [F, M] int32.
+    Drop-in for the ranking half of ``pipeline.stages._ranked_nearest``
+    (reference capability: the nearest-vertex correspondence of
+    ``optimization.py:402-642``); composes with vmap over lanes — the lane
+    axis becomes a leading grid dimension.
+    """
+    F, M = markers.shape[0], markers.shape[1]
+    V = verts.shape[1]
+    if M > M_PAD:
+        raise ValueError(f"M={M} exceeds kernel lane width {M_PAD}")
+
+    c = jnp.mean(verts, axis=-2, keepdims=True)  # [F, 1, 3]
+    x = markers - c
+    y = verts - c
+
+    f_pad = ((F + F_BLOCK - 1) // F_BLOCK) * F_BLOCK
+    v_pad = ((V + V_TILE - 1) // V_TILE) * V_TILE
+
+    x_t = jnp.zeros((f_pad, 8, M_PAD), jnp.float32).at[:F, :3, :M].set(
+        jnp.swapaxes(x, -1, -2))
+    y_t = jnp.full((f_pad, 8, v_pad), 1e6, jnp.float32).at[:F, :3, :V].set(
+        jnp.swapaxes(y, -1, -2))
+    b_t = jnp.full((8, v_pad), 1e30, jnp.float32)
+    b_t = b_t.at[0, :V].set(jnp.zeros((V,), jnp.float32) if y_bias is None
+                            else y_bias.astype(jnp.float32))
+
+    idx = pl.pallas_call(
+        _rank_kernel,
+        grid=(f_pad // F_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((F_BLOCK, 8, M_PAD), lambda fb: (fb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_BLOCK, 8, v_pad), lambda fb: (fb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, v_pad), lambda fb: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F_BLOCK, 1, M_PAD), lambda fb: (fb, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f_pad, 1, M_PAD), jnp.int32),
+        interpret=interpret,
+    )(x_t, y_t, b_t)
+    return idx[:F, 0, :M]
+
+
 def pallas_available() -> bool:
     """True when the default backend can run the TPU kernel."""
     try:

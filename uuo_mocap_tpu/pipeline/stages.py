@@ -25,6 +25,7 @@ Differences by design (not omissions):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -100,12 +101,26 @@ def _forward(model, params: SmplParams):
 
 _RANK_FRAME_CHUNK = 64  # frames per argmin step — bounds the [C, M, V] tile
 
+# Frame-blocked Pallas ranking kernel (opt-in, UUO_RANK_PALLAS=1): one grid
+# program per F_BLOCK frames keeps the [M, V_tile] distance product in
+# VMEM/registers and amortizes launch overhead — the round-2 per-frame
+# kernel was launch-bound at B~1800 (Benchmarks.md).  The ranking pass is
+# ~8.4 ms of the 15 ms sparse closure, the single largest share.
+_RANK_PALLAS = os.environ.get("UUO_RANK_PALLAS", "0") == "1"
+
 
 def _ranked_nearest(markers, verts_ng, y_bias=None):
     """No-grad argmin vertex per marker, scanned over frame chunks so a
     possibly-materialized [F, M, V] distance tensor never exceeds
     [chunk, M, V] (~72 MB at the canonical shape) — many lanes of this run
     concurrently under vmap and an unchunked ranking OOMs the chip."""
+    if _RANK_PALLAS:
+        from uuo_mocap_tpu.ops.chamfer_pallas import (
+            M_PAD, pallas_available, ranked_nearest_pallas,
+        )
+
+        if pallas_available() and markers.shape[1] <= M_PAD:
+            return ranked_nearest_pallas(markers, verts_ng, y_bias)
     F = markers.shape[0]
     C = _RANK_FRAME_CHUNK
 
