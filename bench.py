@@ -191,6 +191,8 @@ def main():
     model = synthetic_body_model()
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "video_mocap.yaml"))
     cfg["parallel"] = {"lane_width": LANE_WIDTH, "part_lane_width": 64, "pad_width": True}
+    if os.environ.get("UUO_BENCH_RANK_PER_ITER") == "1":
+        cfg["optimizer"]["rank_per_iteration"] = True
     solver = MultiSequenceSolver(model, cfg)
     stage_solvers = (
         solver.stages._chamfer_solver, solver.stages._marker_solver, solver.part_fitter._solver,

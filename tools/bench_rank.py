@@ -1,0 +1,95 @@
+"""Microbench: nearest-vertex ranking pass, XLA vs Pallas frame-blocked kernel.
+
+Times at the canonical closure shape (W=4 hypothesis lanes, F=450 frames,
+M=41 markers, V=6890 vertices):
+  1. the ranking pass alone (no-grad dense forward excluded), and
+  2. the full sparse-chamfer closure fwd+bwd with each ranking backend
+     (toggled by monkeypatching ``stages._RANK_PALLAS`` before trace).
+
+Usage: python tools/bench_rank.py [reps]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+W, F, M = 4, 450, 41
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uuo_mocap_tpu.body.synthetic import synthetic_body_model
+from uuo_mocap_tpu.body.model import lbs_forward
+from uuo_mocap_tpu.ops import rotations as rot
+from uuo_mocap_tpu.pipeline import stages as S
+
+model = synthetic_body_model()
+V = model.v_template.shape[0]
+rng = np.random.RandomState(0)
+
+pose6d = jnp.asarray(np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (W, F, 23, 1))
+                     + rng.randn(W, F, 23, 6).astype(np.float32) * 0.01)
+root6d = jnp.asarray(np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (W, F, 1, 1)))
+trans = jnp.asarray(rng.randn(W, F, 3).astype(np.float32) * 0.1)
+betas = jnp.asarray(rng.randn(W, 1, 10).astype(np.float32) * 0.1)
+markers = jnp.asarray(rng.randn(W, F, M, 3).astype(np.float32))
+weights = jnp.ones((W, F, M), jnp.float32)
+
+
+def verts_of(p6, b, r6, t):
+    pose = rot.rotation_6d_to_matrix(p6)
+    root = rot.rotation_6d_to_matrix(r6)
+    return lbs_forward(model, pose, jnp.broadcast_to(b, (F, 10)), root, t)["vertices"]
+
+
+verts = jax.jit(jax.vmap(verts_of))(pose6d, betas, root6d, trans)
+jax.block_until_ready(verts)
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ms = 1e3 * (time.time() - t0) / REPS
+    print(f"{name:40s} {ms:8.2f} ms")
+    return out, ms
+
+
+# ---- 1. ranking pass alone --------------------------------------------------
+S._RANK_PALLAS = False
+rank_xla = jax.jit(jax.vmap(lambda m, v: S._ranked_nearest(m, v)))
+idx_x, _ = timeit("rank XLA (chunked argmin)", rank_xla, markers, verts)
+
+S._RANK_PALLAS = True
+rank_pl = jax.jit(jax.vmap(lambda m, v: S._ranked_nearest(m, v)))
+idx_p, _ = timeit("rank Pallas (frame-blocked)", rank_pl, markers, verts)
+
+agree = float(jnp.mean((idx_x == idx_p).astype(jnp.float32)))
+print(f"argmin agreement: {agree:.6f}")
+
+# ---- 2. full sparse closure fwd+bwd -----------------------------------------
+def closure(p6, b, r6, t, mk, w):
+    sp = S.SmplParams(
+        pose_body=rot.rotation_6d_to_matrix(p6),
+        betas=b,
+        root_orient=rot.rotation_6d_to_matrix(r6),
+        trans=t,
+    )
+    return S._sparse_chamfer(model, sp, mk, w) * 10.0
+
+
+def loss(p6, b, r6, t, mk, w):
+    return jnp.sum(jax.vmap(closure)(p6, b, r6, t, mk, w))
+
+
+for flag, name in ((False, "closure XLA rank"), (True, "closure Pallas rank")):
+    S._RANK_PALLAS = flag
+    g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 3)))
+    (v, grads), ms = timeit(name + " fwd+bwd", lambda *a: g(*a), pose6d, betas, root6d,
+                            trans, markers, weights)
+    print(f"  loss={float(v):.4f}")
