@@ -72,6 +72,77 @@ idx_p, _ = timeit("rank Pallas (frame-blocked)", rank_pl, markers, verts)
 agree = float(jnp.mean((idx_x == idx_p).astype(jnp.float32)))
 print(f"argmin agreement: {agree:.6f}")
 
+# ---- 1b. V-tiled running argmin: avoid materializing [C, M, V] to HBM -------
+def make_vtile(C, VT, precision, mode="matmul"):
+    def ranked_vtile(markers, verts):
+        F_, M_ = markers.shape[0], markers.shape[1]
+        V_ = verts.shape[1]
+        Vp = ((V_ + VT - 1) // VT) * VT
+        bias = jnp.where(jnp.arange(Vp) < V_, 0.0, 1e30).astype(jnp.float32)
+        if Vp != V_:
+            # pad by repeating the last vertex (keeps centroids/numerics
+            # sane); the bias keeps pads from ever winning the argmin
+            verts = jnp.concatenate(
+                [verts, jnp.broadcast_to(verts[:, -1:], (F_, Vp - V_, 3))], axis=1)
+        Fp = ((F_ + C - 1) // C) * C
+        if Fp != F_:
+            pad = Fp - F_
+            markers = jnp.concatenate([markers, jnp.zeros((pad, M_, 3))], 0)
+            verts = jnp.concatenate([verts, jnp.zeros((pad, Vp, 3))], 0)
+        K = Fp // C
+
+        def one_chunk(mv):
+            m_c, v_c = mv  # [C, M, 3], [C, Vp, 3]
+            cen = jnp.mean(v_c, axis=1, keepdims=True)
+            m_c = m_c - cen
+            v_c = v_c - cen
+            m2 = jnp.sum(m_c * m_c, -1)  # [C, M]
+
+            def tile(i, carry):
+                bv, bi = carry
+                v_t = jax.lax.dynamic_slice_in_dim(v_c, i * VT, VT, 1)
+                b_t = jax.lax.dynamic_slice_in_dim(bias, i * VT, VT, 0)
+                if mode == "matmul":
+                    y2 = jnp.sum(v_t * v_t, -1)  # [C, VT]
+                    xy = jnp.einsum("cmd,cvd->cmv", m_c, v_t, precision=precision)
+                    d2 = m2[..., None] + (y2 + b_t)[:, None, :] - 2.0 * xy
+                else:  # direct squared-diff reduction (VPU, f32-exact)
+                    d2 = jnp.sum(
+                        (m_c[:, :, None, :] - v_t[:, None, :, :]) ** 2, -1
+                    ) + b_t[None, None, :]
+                tmin = jnp.min(d2, -1)
+                targ = (jnp.argmin(d2, -1) + i * VT).astype(jnp.int32)
+                take = tmin < bv
+                return jnp.where(take, tmin, bv), jnp.where(take, targ, bi)
+
+            init = (jnp.full((C, M_), jnp.inf, jnp.float32),
+                    jnp.zeros((C, M_), jnp.int32))
+            _, idx = jax.lax.fori_loop(0, Vp // VT, tile, init)
+            return idx
+
+        idx = jax.lax.map(one_chunk, (markers.reshape(K, C, M_, 3),
+                                      verts.reshape(K, C, Vp, 3)))
+        return idx.reshape(Fp, M_)[:F_]
+
+    return ranked_vtile
+
+
+VARIANTS = [
+    ("matmul HIGHEST C=64 VT=1152", 64, 1152, jax.lax.Precision.HIGHEST, "matmul"),
+    ("matmul default C=64 VT=1152", 64, 1152, None, "matmul"),
+    ("matmul HIGH    C=64 VT=1152", 64, 1152, jax.lax.Precision.HIGH, "matmul"),
+    ("direct f32     C=64 VT=1152", 64, 1152, None, "direct"),
+    ("direct f32     C=64 VT=576", 64, 576, None, "direct"),
+    ("direct f32     C=32 VT=1152", 32, 1152, None, "direct"),
+    ("direct f32     C=128 VT=2304", 128, 2304, None, "direct"),
+    ("direct f32     C=450 VT=1152", 450, 1152, None, "direct"),
+]
+for name, C, VT, prec, mode in VARIANTS:
+    fn = jax.jit(jax.vmap(make_vtile(C, VT, prec, mode)))
+    idx_v, _ = timeit(f"rank vtile {name}", fn, markers, verts)
+    agree = float(jnp.mean((idx_x == idx_v).astype(jnp.float32)))
+    print(f"  agreement vs XLA: {agree:.6f}")
+
 # ---- 2. full sparse closure fwd+bwd -----------------------------------------
 def closure(p6, b, r6, t, mk, w):
     sp = S.SmplParams(
