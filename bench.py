@@ -193,6 +193,12 @@ def main():
     cfg["parallel"] = {"lane_width": LANE_WIDTH, "part_lane_width": 64, "pad_width": True}
     if os.environ.get("UUO_BENCH_RANK_PER_ITER") == "1":
         cfg["optimizer"]["rank_per_iteration"] = True
+    if os.environ.get("UUO_BENCH_PRUNE") == "1":
+        cfg["parallel"]["hypothesis_prune"] = {
+            "enabled": True,
+            "at_iters": int(os.environ.get("UUO_BENCH_PRUNE_ITERS", "150")),
+            "keep": int(os.environ.get("UUO_BENCH_PRUNE_KEEP", "1")),
+        }
     solver = MultiSequenceSolver(model, cfg)
     stage_solvers = (
         solver.stages._chamfer_solver, solver.stages._marker_solver, solver.part_fitter._solver,

@@ -116,6 +116,10 @@ class MultiSequenceSolver:
                            self.stages._root_solver):
                 solver.max_width = int(self.lane_width)
                 solver.pad_width = pad
+        # hypothesis pruning (opt-in, parallel.hypothesis_prune): stop
+        # descending yaw-hypothesis lanes that lost the tournament — see
+        # solve_prepared's chamfer block
+        self.prune_cfg = dict(pcfg.get("hypothesis_prune") or {})
         part_w = int(pcfg.get("part_lane_width", 64))
         if part_w:
             self.part_fitter._solver.max_width = part_w
@@ -405,31 +409,85 @@ class MultiSequenceSolver:
         do_chamfer = cfg["stages"]["chamfer"]["num_iters"] > 0
         do_marker = cfg["stages"]["marker"]["num_iters"] > 0
 
+        img_mask_l = lane_rep(img_mask_b)
+        W = self.lane_width
+        A_eff = A  # hypotheses still alive per sequence
+        hyp_ids = np.tile(np.arange(A), (Q, 1))  # [Q, A_eff] original angle id
+        pose0_l, betas0_l, trans0_l = o_pose_l, lane_rep(betas_seed), lane_rep(trans_seed)
+
         if do_chamfer:
+            # hypothesis pruning (opt-in, parallel.hypothesis_prune): the
+            # reference descends every yaw hypothesis to convergence and only
+            # THEN holds the tournament (multimodal.py:462-599).  Losing
+            # lanes (e.g. the upside-down yaw) burn the most iterations while
+            # contributing nothing.  Pruning splits the chamfer stage:
+            # phase 1 partially descends ALL lanes (iter_cap = at_iters,
+            # host-side — the same compiled programs), scores them with the
+            # SAME single-directional chamfer the final argmin uses, and
+            # phase 2 descends only the best `keep` lanes per sequence to
+            # convergence, warm-started from their phase-1 parameters.
+            # Approximation: a lane that would have won only after at_iters
+            # is lost — keep >= 2 covers close calls (measured: Benchmarks.md).
+            prune = self.prune_cfg
+            do_prune = bool(prune.get("enabled")) and A > max(int(prune.get("keep", 1)), 1)
+            if do_prune:
+                at_iters = int(prune.get("at_iters", 150))
+                keep = max(int(prune.get("keep", 1)), 1)
+                solver = stages._chamfer_solver
+                log(f"Batch[{Q}]: chamfer phase 1 ({Ln} lanes, {at_iters} iters)...")
+                with timed("chamfer"):
+                    solver.iter_cap = at_iters
+                    try:
+                        partial_all, res_p = stages.chamfer_stage_lanes(
+                            markers_l, weights_l, o_pose_l, o_betas_l,
+                            pose0_l, betas0_l, root0_l, trans0_l, labels_l, fv_l,
+                        )
+                    finally:
+                        solver.iter_cap = None
+                total_evals += int(np.sum(np.asarray(res_p.num_evals)))
+                grab_stats("chamfer", solver)
+                with timed("prune_score"):
+                    pscores = np.asarray(chunked_lanes(
+                        stages.score_chamfer_lanes, W,
+                        markers_l, weights_l, partial_all,
+                    )).reshape(Q, A)
+                hyp_ids = np.sort(np.argsort(pscores, axis=1)[:, :keep], axis=1)
+                surv = jnp.asarray((np.arange(Q)[:, None] * A + hyp_ids).reshape(-1))
+                markers_l, weights_l, o_pose_l, o_betas_l, fv_l, img_mask_l = \
+                    self._put_lanes(*(x[surv] for x in (
+                        markers_l, weights_l, o_pose_l, o_betas_l, fv_l, img_mask_l)))
+                labels_l = labels_l[surv]
+                partial_s = jax.tree_util.tree_map(lambda a: a[surv], partial_all)
+                pose0_l = partial_s.pose_body
+                betas0_l = partial_s.betas
+                trans0_l = partial_s.trans
+                (root0_l,) = self._put_lanes(rot.normalize_rotation(partial_s.root_orient))
+                A_eff = keep
+                Ln = Q * keep
+                log(f"  survivors {hyp_ids.tolist()}; chamfer phase 2 ({Ln} lanes)...")
             with timed("chamfer"):
                 chamfer_all, res_c = stages.chamfer_stage_lanes(
                     markers_l, weights_l, o_pose_l, o_betas_l,
-                    o_pose_l, lane_rep(betas_seed), root0_l, lane_rep(trans_seed),
+                    pose0_l, betas0_l, root0_l, trans0_l,
                     labels_l, fv_l,
                 )
             total_evals += int(np.sum(np.asarray(res_c.num_evals)))
             grab_stats("chamfer", stages._chamfer_solver)
         else:
-            chamfer_all = SmplParams(o_pose_l, lane_rep(betas_seed), root0_l, lane_rep(trans_seed))
+            chamfer_all = SmplParams(pose0_l, betas0_l, root0_l, trans0_l)
 
-        W = self.lane_width
         if do_marker:
             part_gran = cfg["stages"]["segment"]["granularity"] == "part"
             with timed("nearest"):
                 if part_gran:
                     attach_all = chunked_lanes(
                         stages.nearest_points_lanes, W,
-                        markers_l, chamfer_all, lane_rep(img_mask_b), labels_l,
+                        markers_l, chamfer_all, img_mask_l, labels_l,
                     )
                 else:
                     attach_all = chunked_lanes(
                         stages.nearest_points_lanes_nolabel, W,
-                        markers_l, chamfer_all, lane_rep(img_mask_b),
+                        markers_l, chamfer_all, img_mask_l,
                     )
                 jax.block_until_ready(attach_all.vertex_ids)
             with timed("marker"):
@@ -444,9 +502,10 @@ class MultiSequenceSolver:
         # ---- best hypothesis per sequence (multimodal.py:576-606)
         scores = np.asarray(chunked_lanes(
             stages.score_chamfer_lanes, W, markers_l, weights_l, marker_all
-        )).reshape(Q, A)
-        best = np.argmin(scores, axis=1)  # [Q]
-        sel_l = jnp.asarray(np.arange(Q) * A + best)
+        )).reshape(Q, A_eff)
+        best_local = np.argmin(scores, axis=1)  # [Q] index into surviving lanes
+        best = hyp_ids[np.arange(Q), best_local]  # [Q] original angle id
+        sel_l = jnp.asarray(np.arange(Q) * A_eff + best_local)
         params_q = jax.tree_util.tree_map(lambda x: x[sel_l], marker_all)
         chamfer_q = jax.tree_util.tree_map(lambda x: x[sel_l], chamfer_all)
         marker_q = params_q  # pre-refinement "marker" stage snapshot
@@ -571,7 +630,8 @@ class MultiSequenceSolver:
             angles_l, lane_rep(markers_b), lane_rep(weights_b), lane_rep(o_pose_b),
             lane_rep(betas0_b), lane_rep(cam("hmr_betas")), lane_rep(cam("hmr_root_orient")),
             lane_rep(trans0_b), lane_rep(cam("camera_bbox")), lane_rep(cam("cam_center")),
-            lane_rep(cam("cam_size")), lane_rep(cam("cam_scale")), lane_rep(img_mask_b),
+            lane_rep(cam("cam_size")), lane_rep(cam("cam_scale")),
+            lane_rep(img_mask_b),
         )
         met = np.asarray(out["metrics"][metric_key]).reshape(Q, nA)
         best = np.argmin(met, axis=1)

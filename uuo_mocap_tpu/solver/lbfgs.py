@@ -517,6 +517,16 @@ class BatchedLbfgs:
         # compiles every program of a stage at a bounded cost — bench.py's
         # compile-only warmup (VERDICT r2 item 1).
         self.abort_after_segments = None
+        # host-side PER-LANE iteration cap: lanes retire from the stream once
+        # n_iter >= iter_cap even though opts.max_iter (baked into the
+        # compiled segment program) is higher.  Because retirement is checked
+        # between segments, set caps to multiples of segment_size for exact
+        # budgets.  Unlike abort_after_segments this is per-LANE, so it is
+        # correct under streaming (every lane gets its cap, regardless of
+        # when it enters the working set) — used by hypothesis pruning's
+        # partial-descent phase (parallel/batch_solver.py).  Uses the SAME
+        # compiled programs as an uncapped run: zero extra traces/compiles.
+        self.iter_cap = None
         # optional pytree placer (e.g. NamedSharding over a mesh 'data' axis)
         # applied to the optimizer state + lane args at init and after every
         # refill, so lanes stay sharded across devices
@@ -706,7 +716,9 @@ class BatchedLbfgs:
             done = _np.asarray(ws_state.done)
             iters = _np.asarray(ws_state.n_iter)
             evals = _np.asarray(ws_state.n_evals).astype(_np.int64)
-            fin_now = done | (iters >= self.opts.max_iter)  # per-lane OR!
+            cap = self.opts.max_iter if self.iter_cap is None else min(
+                self.opts.max_iter, int(self.iter_cap))
+            fin_now = done | (iters >= cap)  # per-lane OR!
             # device burns W x (slowest lane's evals) per lockstep segment
             delta = evals - evals_prev[active]
             device_evals += int(W * max(int(delta.max()), 0))
