@@ -45,6 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 CACHE_DIR = os.path.expanduser("~/.cache/uuo_mocap_tpu_xla")
+DATA_CACHE_DIR = os.path.expanduser("~/.cache/uuo_mocap_tpu_bench_data")
 PROXY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_PROXY.json")
 
 F_FRAMES = 450
@@ -63,15 +64,86 @@ GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
 PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []
 
 
+def _datagen_fingerprint():
+    """Hash of the generator sources — a cached batch is only served while
+    the code that would regenerate it is byte-identical."""
+    import hashlib
+
+    h = hashlib.sha256()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for rel in (
+        "uuo_mocap_tpu/data/synthetic.py",
+        "uuo_mocap_tpu/pipeline/multimodal.py",
+        "uuo_mocap_tpu/body/synthetic.py",
+    ):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+_PREP_ARRAY_SLOTS = ("markers", "img_mask", "frame_valid", "o_trans", "o_root_orient",
+                     "o_pose_body", "o_foot_contacts", "o_betas")
+_PREP_SCALAR_SLOTS = ("F", "F_real", "M_real", "mocap_freq")
+
+
+def _save_batch(path, gts, preps):
+    flat = {"n": np.asarray(len(gts))}
+    for i, (gt, p) in enumerate(zip(gts, preps)):
+        for k in ("pose_body", "betas", "root_orient", "trans"):
+            flat[f"gt{i}_{k}"] = np.asarray(getattr(gt, k))
+        for k in _PREP_ARRAY_SLOTS:
+            flat[f"p{i}_{k}"] = np.asarray(getattr(p, k))
+        for k in _PREP_SCALAR_SLOTS:
+            flat[f"p{i}_{k}"] = np.asarray(getattr(p, k))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"  # explicit .npz so numpy does not append one
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def _load_batch(path):
+    from uuo_mocap_tpu.pipeline.multimodal import PreparedSequence
+    from uuo_mocap_tpu.pipeline.stages import SmplParams
+
+    z = np.load(path)
+    gts, preps = [], []
+    for i in range(int(z["n"])):
+        gts.append(SmplParams(*(z[f"gt{i}_{k}"] for k in
+                                ("pose_body", "betas", "root_orient", "trans"))))
+        p = PreparedSequence()
+        for k in _PREP_ARRAY_SLOTS:
+            setattr(p, k, z[f"p{i}_{k}"])
+        for k in ("F", "F_real", "M_real"):
+            setattr(p, k, int(z[f"p{i}_{k}"]))
+        p.mocap_freq = float(z[f"p{i}_mocap_freq"])
+        for k in ("hmr_betas", "hmr_root_orient", "camera_bbox", "cam_center",
+                  "cam_size", "cam_scale"):
+            setattr(p, k, None)  # synthetic priors carry no camera streams
+        preps.append(p)
+    return gts, preps
+
+
 def make_batch(model, seed0, easy=False):
     """Synthetic batch generation runs on the CPU backend: the generators
     are eager op-by-op code, and every tiny eager op costs a ~0.4 s XLA
     compile on the tunneled TPU backend (hundreds of them blew the round-2
-    bench budget before the solve even started)."""
+    bench budget before the solve even started).  Generated INPUTS (never
+    results) are cached to disk keyed by seeds/shapes + a generator-source
+    hash — datagen cost ~230 s of the capture budget on this shared host."""
     import jax
 
+    key = (f"b{BATCH}_f{F_FRAMES}_m{N_MARKERS}_s{seed0}_"
+           f"{'easy' if easy else 'hard'}_{_datagen_fingerprint()}")
+    path = os.path.join(DATA_CACHE_DIR, key + ".npz")
+    if os.path.exists(path):
+        try:
+            return _load_batch(path)
+        except Exception:
+            pass  # corrupt/partial cache entry: regenerate
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        return _make_batch_inner(model, seed0, easy)
+        gts, preps = _make_batch_inner(model, seed0, easy)
+    _save_batch(path, gts, preps)
+    return gts, preps
 
 
 def _make_batch_inner(model, seed0, easy):
@@ -198,6 +270,7 @@ def main():
             "enabled": True,
             "at_iters": int(os.environ.get("UUO_BENCH_PRUNE_ITERS", "150")),
             "keep": int(os.environ.get("UUO_BENCH_PRUNE_KEEP", "1")),
+            "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
         }
     solver = MultiSequenceSolver(model, cfg)
     stage_solvers = (

@@ -161,8 +161,9 @@ def test_drain_shrink_matches():
 
 
 def test_pad_width_matches():
-    """L < W with pad_width: the working set pads up to W with duplicate
-    lanes so a canonical-width program can be reused; results unchanged."""
+    """L < W with pad_width: the working set pads up to the next power-of-2
+    bucket (capped at max_width) with duplicate lanes so a small bounded set
+    of canonical-width programs gets reused; results unchanged."""
     L, W = 3, 8
     targets = jnp.asarray(RNG.randn(L, 5).astype(np.float32))
     p0 = {"x": jnp.zeros((L, 5))}
@@ -173,8 +174,20 @@ def test_pad_width_matches():
     b = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10,
                      max_width=W, pad_width=True)
     pb, _ = b.run(p0, {"target": targets}, shared)
-    assert b.last_run_stats["width"] == W
+    # 3 lanes bucket to width 4, not all the way to max_width=8
+    assert b.last_run_stats["width"] == 4
     np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pb["x"]))
+
+    # a lane count above max_width still streams at exactly max_width
+    L2 = 11
+    t2 = jnp.asarray(RNG.randn(L2, 5).astype(np.float32))
+    c = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10,
+                     max_width=W, pad_width=True)
+    pc, _ = c.run({"x": jnp.zeros((L2, 5))}, {"target": t2}, shared)
+    assert c.last_run_stats["width"] == W
+    d = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10)
+    pd, _ = d.run({"x": jnp.zeros((L2, 5))}, {"target": t2}, shared)
+    np.testing.assert_array_equal(np.asarray(pd["x"]), np.asarray(pc["x"]))
 
 
 def test_prepare_constant_aux_is_identical():

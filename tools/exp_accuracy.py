@@ -43,6 +43,7 @@ def main():
             "enabled": True,
             "at_iters": int(os.environ.get("UUO_BENCH_PRUNE_ITERS", "150")),
             "keep": int(os.environ.get("UUO_BENCH_PRUNE_KEEP", "1")),
+            "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
         }
     if os.environ.get("UUO_EXP_STAGE_REPEATS"):
         cfg["stage_repeats"] = int(os.environ["UUO_EXP_STAGE_REPEATS"])

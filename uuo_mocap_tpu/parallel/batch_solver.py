@@ -110,12 +110,12 @@ class MultiSequenceSolver:
         # keep their natural program shapes; bench.py opts in for canonical
         # width reuse across batch sizes.
         self.lane_width = int(pcfg.get("lane_width", 16))
-        pad = bool(pcfg.get("pad_width", False))
+        self._pad_width = bool(pcfg.get("pad_width", False))
         if self.lane_width:
             for solver in (self.stages._chamfer_solver, self.stages._marker_solver,
                            self.stages._root_solver):
                 solver.max_width = int(self.lane_width)
-                solver.pad_width = pad
+                solver.pad_width = self._pad_width
         # hypothesis pruning (opt-in, parallel.hypothesis_prune): stop
         # descending yaw-hypothesis lanes that lost the tournament — see
         # solve_prepared's chamfer block
@@ -123,7 +123,7 @@ class MultiSequenceSolver:
         part_w = int(pcfg.get("part_lane_width", 64))
         if part_w:
             self.part_fitter._solver.max_width = part_w
-            self.part_fitter._solver.pad_width = pad
+            self.part_fitter._solver.pad_width = self._pad_width
         self._reproj = None  # lazily-built ReprojectionStage
         # jitted prior forward — the eager op-by-op LBS costs hundreds of
         # tiny per-op XLA compiles on the tunneled TPU backend
@@ -136,6 +136,16 @@ class MultiSequenceSolver:
                 self.part_fitter._solver,
             ):
                 solver.reshard = resharder
+
+    def _configure_solver(self, solver):
+        """Apply the sweep's width/pad/reshard settings to a lazily-built
+        stage solver (the prune phase-1 frozen chamfer solver is only
+        constructed when a pruned sweep actually runs)."""
+        if self.lane_width:
+            solver.max_width = int(self.lane_width)
+            solver.pad_width = self._pad_width
+        if self.mesh is not None:
+            solver.reshard = make_lane_resharder(self.mesh)
 
     def _put_lanes(self, *arrays):
         if self.mesh is None:
@@ -433,7 +443,19 @@ class MultiSequenceSolver:
             if do_prune:
                 at_iters = int(prune.get("at_iters", 150))
                 keep = max(int(prune.get("keep", 1)), 1)
-                solver = stages._chamfer_solver
+                # phase 1 only has to RANK lanes — hypothesis_prune.rank_phase1
+                # opts it into the rank-per-iteration closure (~40% cheaper
+                # evals).  OFF by default: although survivors re-descend under
+                # the exact per-evaluation objective in phase 2, the frozen-
+                # rank warm start can land them in a worse basin
+                # (tests/test_hypothesis_prune.py measured +11 mm at toy
+                # scale) — enable only after measuring on the target workload.
+                if (bool(prune.get("rank_phase1", False))
+                        and not self.config["optimizer"].get("rank_per_iteration", False)):
+                    solver = stages._chamfer_solver_frozen
+                    self._configure_solver(solver)
+                else:
+                    solver = stages._chamfer_solver
                 log(f"Batch[{Q}]: chamfer phase 1 ({Ln} lanes, {at_iters} iters)...")
                 with timed("chamfer"):
                     solver.iter_cap = at_iters
@@ -441,6 +463,7 @@ class MultiSequenceSolver:
                         partial_all, res_p = stages.chamfer_stage_lanes(
                             markers_l, weights_l, o_pose_l, o_betas_l,
                             pose0_l, betas0_l, root0_l, trans0_l, labels_l, fv_l,
+                            solver=solver,
                         )
                     finally:
                         solver.iter_cap = None

@@ -284,6 +284,23 @@ class SolveStages:
     # --------------------------------------------------------------- chamfer
     @functools.cached_property
     def _chamfer_solver(self) -> BatchedLbfgs:
+        return self._make_chamfer_solver(
+            bool(self.config["optimizer"].get("rank_per_iteration", False))
+        )
+
+    @functools.cached_property
+    def _chamfer_solver_frozen(self) -> BatchedLbfgs:
+        """Rank-per-iteration chamfer solver regardless of the global
+        ``optimizer.rank_per_iteration`` flag — used by hypothesis pruning's
+        phase-1 partial descent (opt-in ``hypothesis_prune.rank_phase1``),
+        where the objective only has to RANK lanes.  Survivors re-descend
+        under the exact per-evaluation objective in phase 2, but the frozen-
+        rank warm start can still land them in a worse basin (measured
+        +11 mm at toy scale, tests/test_hypothesis_prune.py) — measure on
+        the target workload before enabling."""
+        return self._make_chamfer_solver(True)
+
+    def _make_chamfer_solver(self, rank_per_iteration: bool) -> BatchedLbfgs:
         cfg = self.config
         scfg = cfg["stages"]["chamfer"]
         losses = scfg["losses"]
@@ -308,7 +325,7 @@ class SolveStages:
         # dominant share of the closure, and line searches average ~2.5
         # evaluations per iteration.  At convergence the ranking is
         # stationary, so the fixed point matches the per-eval objective's.
-        rank_freeze = sparse and bool(cfg["optimizer"].get("rank_per_iteration", False))
+        rank_freeze = sparse and rank_per_iteration
 
         def params_to_smpl(p, d):
             z_root = apply_root(p["z"], d["root_orient0"])
@@ -676,12 +693,17 @@ class SolveStages:
 
     def chamfer_stage_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
                             pose0_l, betas0_l, root0_l, trans0_l, labels_l,
-                            frame_valid_l):
+                            frame_valid_l, solver=None):
         """Per-lane chamfer stage: every arg carries a leading lane axis
-        (lane = sequence x yaw hypothesis)."""
+        (lane = sequence x yaw hypothesis).  ``solver`` overrides the stage
+        solver (hypothesis pruning passes ``_chamfer_solver_frozen`` for its
+        phase-1 partial descent)."""
         Ln, F = root0_l.shape[0], root0_l.shape[1]
         scfg = self.config["stages"]["chamfer"]
-        solver = self._chamfer_solver  # binds self._chamfer_apply
+        if solver is None:
+            solver = self._chamfer_solver  # binds self._chamfer_apply
+        else:
+            self._chamfer_solver  # noqa: B018 — ensure _chamfer_apply is bound
         pose6d0 = rot.matrix_to_rotation_6d(pose0_l)
         if scfg.get("yaw_lock", True):
             z0 = jnp.zeros((Ln, F, 1, 1))

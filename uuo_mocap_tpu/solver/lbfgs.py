@@ -615,10 +615,16 @@ class BatchedLbfgs:
         import numpy as _np
 
         L = jax.tree_util.tree_leaves(params0_batch)[0].shape[0]
-        # working-set width: cap at max_width (streaming), optionally pad
-        # small batches UP to it so they reuse the canonical-width programs
-        if self.max_width is not None and (L > self.max_width or self.pad_width):
+        # working-set width: cap at max_width (streaming); pad_width rounds
+        # small batches UP to the next power-of-2 bucket (capped at
+        # max_width) so the number of distinct compiled program widths stays
+        # bounded at log2(max_width) without the ride-along waste of padding
+        # every small lane set all the way to max_width (e.g. the 4 pruned-
+        # survivor lanes no longer burn 4x device evals in a 16-wide program)
+        if self.max_width is not None and L > self.max_width:
             W = int(self.max_width)
+        elif self.pad_width and self.max_width is not None and L < self.max_width:
+            W = min(1 << max(L - 1, 1).bit_length(), int(self.max_width)) if L > 1 else 1
         else:
             W = L
         W0 = W  # initial width (drain_shrink floor logic)
