@@ -72,6 +72,16 @@ def main():
                          jnp.asarray(root), jnp.asarray(trans))
             return float(jnp.mean(jnp.linalg.norm(j_s - j_gt, axis=-1))) * 1e3
 
+    dump = os.environ.get("UUO_EXP_DUMP")
+    if dump:
+        flat = {}
+        for q, (gt, r) in enumerate(zip(gts, out["results"])):
+            for k in ("pose_body", "betas", "root_orient", "trans"):
+                flat[f"s{q}_{k}"] = np.asarray(r[k])
+                flat[f"g{q}_{k}"] = np.asarray(getattr(gt, k))
+        np.savez(dump, n=len(gts), **flat)
+        print(f"dumped solved/gt params -> {dump}")
+
     for q, (gt, r) in enumerate(zip(gts, out["results"])):
         print(f"--- seq {q} (best hypothesis {r['best_hypothesis']})")
         rows = list(r.get("stages", {}).items()) + [("final", r)]
