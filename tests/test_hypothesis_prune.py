@@ -99,3 +99,38 @@ def test_prune_matches_full_sweep(body):
     ev_full = out_full["eval_stats"]["chamfer"]["lane_evals"]
     ev_pr = out_pr["eval_stats"]["chamfer"]["lane_evals"]
     assert ev_pr < ev_full, (ev_pr, ev_full)
+
+
+def test_prune_cascade(body):
+    """Multi-round cascade (at_iters/keep as lists): 4 yaw lanes -> 2 at the
+    early tournament -> 1 at the runoff; the survivor must match the
+    single-round prune's winner and land at comparable accuracy."""
+    Q, F, M = 1, 12, 16
+    preps, gts = _make(body, Q, F, M)
+
+    cfg1 = _cfg(True)
+    cfg1["num_root_orient_angles"] = 4
+    cfg1["parallel"]["lane_width"] = 4
+    out1 = MultiSequenceSolver(body, cfg1).solve_prepared(preps)
+
+    cfgc = _cfg(True)
+    cfgc["num_root_orient_angles"] = 4
+    cfgc["parallel"]["lane_width"] = 4
+    cfgc["parallel"]["hypothesis_prune"] = {
+        "enabled": True, "at_iters": [20, 50], "keep": [2, 1],
+    }
+    outc = MultiSequenceSolver(body, cfgc).solve_prepared(preps)
+
+    assert outc["scores"].shape == (Q, 1)
+    assert outc["results"][0]["best_hypothesis"] == \
+        out1["results"][0]["best_hypothesis"]
+    e1 = _mpjpe_mm(body, gts[0], out1["results"][0])
+    ec = _mpjpe_mm(body, gts[0], outc["results"][0])
+    assert abs(ec - e1) < max(0.25 * e1, 5.0), (ec, e1)
+    # Lane-eval bound is LOOSE at toy scale: every round boundary resets the
+    # L-BFGS state, and the restart cost (re-establishing step lengths) only
+    # amortizes at production iteration budgets (bench-scale numbers live in
+    # Benchmarks.md).  The toy cascade (20/50-iter rounds) just must not
+    # blow up.
+    assert outc["eval_stats"]["chamfer"]["lane_evals"] <= \
+        out1["eval_stats"]["chamfer"]["lane_evals"] * 1.3

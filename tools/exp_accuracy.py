@@ -39,10 +39,12 @@ def main():
     if os.environ.get("UUO_BENCH_RANK_PER_ITER") == "1":
         cfg["optimizer"]["rank_per_iteration"] = True
     if os.environ.get("UUO_BENCH_PRUNE") == "1":
+        ai = [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_ITERS", "150").split(",")]
+        kp = [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_KEEP", "1").split(",")]
         cfg["parallel"]["hypothesis_prune"] = {
             "enabled": True,
-            "at_iters": int(os.environ.get("UUO_BENCH_PRUNE_ITERS", "150")),
-            "keep": int(os.environ.get("UUO_BENCH_PRUNE_KEEP", "1")),
+            "at_iters": ai[0] if len(ai) == 1 else ai,
+            "keep": kp[0] if len(kp) == 1 else kp,
             "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
         }
     if os.environ.get("UUO_EXP_STAGE_REPEATS"):

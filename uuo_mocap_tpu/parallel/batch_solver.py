@@ -439,10 +439,18 @@ class MultiSequenceSolver:
             # Approximation: a lane that would have won only after at_iters
             # is lost — keep >= 2 covers close calls (measured: Benchmarks.md).
             prune = self.prune_cfg
-            do_prune = bool(prune.get("enabled")) and A > max(int(prune.get("keep", 1)), 1)
+            # at_iters/keep accept scalars (one tournament round) or equal-
+            # length lists (a CASCADE: e.g. at_iters [50, 150], keep [2, 1]
+            # retires the obviously-lost lanes after 50 iters and holds the
+            # close-call runoff at 150, saving phase-1 device iterations on
+            # lanes a single late tournament would have carried to 150).
+            _ai = prune.get("at_iters", 150)
+            _kp = prune.get("keep", 1)
+            rounds = [(int(a), max(int(k), 1)) for a, k in zip(
+                _ai if isinstance(_ai, (list, tuple)) else [_ai],
+                _kp if isinstance(_kp, (list, tuple)) else [_kp])]
+            do_prune = bool(prune.get("enabled")) and A > rounds[-1][1]
             if do_prune:
-                at_iters = int(prune.get("at_iters", 150))
-                keep = max(int(prune.get("keep", 1)), 1)
                 # phase 1 only has to RANK lanes — hypothesis_prune.rank_phase1
                 # opts it into the rank-per-iteration closure (~40% cheaper
                 # evals).  OFF by default: although survivors re-descend under
@@ -456,37 +464,47 @@ class MultiSequenceSolver:
                     self._configure_solver(solver)
                 else:
                     solver = stages._chamfer_solver
-                log(f"Batch[{Q}]: chamfer phase 1 ({Ln} lanes, {at_iters} iters)...")
-                with timed("chamfer"):
-                    solver.iter_cap = at_iters
-                    try:
-                        partial_all, res_p = stages.chamfer_stage_lanes(
-                            markers_l, weights_l, o_pose_l, o_betas_l,
-                            pose0_l, betas0_l, root0_l, trans0_l, labels_l, fv_l,
-                            solver=solver,
-                        )
-                    finally:
-                        solver.iter_cap = None
-                total_evals += int(np.sum(np.asarray(res_p.num_evals)))
-                grab_stats("chamfer", solver)
-                with timed("prune_score"):
-                    pscores = np.asarray(chunked_lanes(
-                        stages.score_chamfer_lanes, W,
-                        markers_l, weights_l, partial_all,
-                    )).reshape(Q, A)
-                hyp_ids = np.sort(np.argsort(pscores, axis=1)[:, :keep], axis=1)
-                surv = jnp.asarray((np.arange(Q)[:, None] * A + hyp_ids).reshape(-1))
-                markers_l, weights_l, o_pose_l, o_betas_l, fv_l, img_mask_l = \
-                    self._put_lanes(*(x[surv] for x in (
-                        markers_l, weights_l, o_pose_l, o_betas_l, fv_l, img_mask_l)))
-                labels_l = labels_l[surv]
-                partial_s = jax.tree_util.tree_map(lambda a: a[surv], partial_all)
-                pose0_l = partial_s.pose_body
-                betas0_l = partial_s.betas
-                trans0_l = partial_s.trans
-                (root0_l,) = self._put_lanes(rot.normalize_rotation(partial_s.root_orient))
-                A_eff = keep
-                Ln = Q * keep
+                A_cur = A
+                done_iters = 0
+                for at_iters, keep in rounds:
+                    if A_cur <= keep:
+                        continue
+                    round_iters = max(at_iters - done_iters, 1)
+                    log(f"Batch[{Q}]: chamfer phase 1 ({Ln} lanes, "
+                        f"+{round_iters} iters to {at_iters})...")
+                    with timed("chamfer"):
+                        solver.iter_cap = round_iters
+                        try:
+                            partial_all, res_p = stages.chamfer_stage_lanes(
+                                markers_l, weights_l, o_pose_l, o_betas_l,
+                                pose0_l, betas0_l, root0_l, trans0_l, labels_l, fv_l,
+                                solver=solver,
+                            )
+                        finally:
+                            solver.iter_cap = None
+                    done_iters = at_iters
+                    total_evals += int(np.sum(np.asarray(res_p.num_evals)))
+                    grab_stats("chamfer", solver)
+                    with timed("prune_score"):
+                        pscores = np.asarray(chunked_lanes(
+                            stages.score_chamfer_lanes, W,
+                            markers_l, weights_l, partial_all,
+                        )).reshape(Q, A_cur)
+                    local = np.sort(np.argsort(pscores, axis=1)[:, :keep], axis=1)
+                    hyp_ids = np.take_along_axis(hyp_ids, local, axis=1)
+                    surv = jnp.asarray((np.arange(Q)[:, None] * A_cur + local).reshape(-1))
+                    markers_l, weights_l, o_pose_l, o_betas_l, fv_l, img_mask_l = \
+                        self._put_lanes(*(x[surv] for x in (
+                            markers_l, weights_l, o_pose_l, o_betas_l, fv_l, img_mask_l)))
+                    labels_l = labels_l[surv]
+                    partial_s = jax.tree_util.tree_map(lambda a: a[surv], partial_all)
+                    pose0_l = partial_s.pose_body
+                    betas0_l = partial_s.betas
+                    trans0_l = partial_s.trans
+                    (root0_l,) = self._put_lanes(rot.normalize_rotation(partial_s.root_orient))
+                    A_cur = keep
+                    Ln = Q * keep
+                A_eff = A_cur
                 log(f"  survivors {hyp_ids.tolist()}; chamfer phase 2 ({Ln} lanes)...")
             with timed("chamfer"):
                 chamfer_all, res_c = stages.chamfer_stage_lanes(
