@@ -59,6 +59,15 @@ N_MARKERS = 41
 # scale experiments)
 BATCH = int(os.environ.get("UUO_BENCH_BATCH", "4"))
 LANE_WIDTH = int(os.environ.get("UUO_BENCH_LANE_WIDTH", "16"))
+# UUO_BENCH_LAYOUT=cmu_41 anchors markers at a NAMED capture layout instead
+# of random vertices.  The random draw follows the mesh's torso-heavy vertex
+# density and leaves ankles/feet/wrists with ZERO markers (they are 18/8/15
+# of 6890 vertices), which dominates the headline MPJPE: the official
+# random-layout workload solves to 24.6 mm all-22 but 14.2 mm over the 16
+# instrumented joints (extremities 52 mm).  Real layouts instrument
+# extremities (LANK/LHEE/LTOE/LIWR...), so the layout variant reports the
+# solver's accuracy in the regime the reference's real datasets occupy.
+LAYOUT = os.environ.get("UUO_BENCH_LAYOUT", "")
 MPJPE_GATE_MM = 25.0
 GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
 PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []
@@ -73,6 +82,7 @@ def _datagen_fingerprint():
     root = os.path.dirname(os.path.abspath(__file__))
     for rel in (
         "uuo_mocap_tpu/data/synthetic.py",
+        "uuo_mocap_tpu/data/marker_layout.py",
         "uuo_mocap_tpu/pipeline/multimodal.py",
         "uuo_mocap_tpu/body/synthetic.py",
     ):
@@ -133,7 +143,8 @@ def make_batch(model, seed0, easy=False):
     import jax
 
     key = (f"b{BATCH}_f{F_FRAMES}_m{N_MARKERS}_s{seed0}_"
-           f"{'easy' if easy else 'hard'}_{_datagen_fingerprint()}")
+           f"{'easy' if easy else 'hard'}{'_' + LAYOUT if LAYOUT else ''}_"
+           f"{_datagen_fingerprint()}")
     path = os.path.join(DATA_CACHE_DIR, key + ".npz")
     if os.path.exists(path):
         try:
@@ -152,6 +163,12 @@ def _make_batch_inner(model, seed0, easy):
     from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, random_pose_sequence
     from uuo_mocap_tpu.pipeline.multimodal import prepare_sequence
 
+    layout_vids = None
+    if LAYOUT:
+        from uuo_mocap_tpu.data.marker_layout import resolve_layout_vertex_ids
+
+        layout_vids = resolve_layout_vertex_ids(LAYOUT, model)
+
     gts, preps = [], []
     # warmup (easy): ONE generated sequence tiled BATCH times — the warmup
     # only compiles programs, so identical lanes are fine and generation is
@@ -159,7 +176,8 @@ def _make_batch_inner(model, seed0, easy):
     for q in range(1 if easy else BATCH):
         gt = random_pose_sequence(F_FRAMES, seed=seed0 + 3 * q, yaw=0.9, travel=0.5)
         markers = generate_markers(
-            model, gt, num_markers=N_MARKERS, seed=seed0 + 3 * q + 1, occlusion_rate=0.05
+            model, gt, num_markers=N_MARKERS, seed=seed0 + 3 * q + 1, occlusion_rate=0.05,
+            vertex_ids=layout_vids,
         )
         if easy:  # warmup: prior == gt, so descents converge almost instantly
             prior = gt
@@ -170,6 +188,10 @@ def _make_batch_inner(model, seed0, easy):
         preps.append(prepare_sequence(
             ImgSmpl.from_params(prior), ArrayMarkers(np.asarray(markers.points)),
             frame_bucket=None,
+            # a named layout has its own marker count (cmu_41: 39); pad the
+            # columns to the canonical M so the variant reuses the official
+            # workload's compiled program shapes (zero columns = occluded)
+            pad_to_markers=N_MARKERS if layout_vids is not None else None,
         ))
         gts.append(gt)
     if easy:
@@ -204,11 +226,18 @@ def _joints_fn(model):
     return fn
 
 
+# extremity joints (L/R ankle, foot, wrist): 18/8/15 of the mesh's 6890
+# vertices, so the official random-vertex layout never instruments them —
+# the split separates solver quality from layout coverage in the detail
+_EXTREMITY_JOINTS = (7, 8, 10, 11, 20, 21)
+
+
 def _batch_mpjpe_inner(model, results, gts):
     import jax.numpy as jnp
 
     joints = _joints_fn(model)
-    errs = []
+    keep = [j for j in range(22) if j not in _EXTREMITY_JOINTS]
+    errs, errs_body, errs_ext = [], [], []
     for r, gt in zip(results, gts):
         F = gt.trans.shape[0]
         j_gt = joints(gt.pose_body, jnp.broadcast_to(gt.betas, (F, 10)), gt.root_orient, gt.trans)
@@ -218,8 +247,11 @@ def _batch_mpjpe_inner(model, results, gts):
             jnp.asarray(r["root_orient"]),
             jnp.asarray(r["trans"]),
         )
-        errs.append(float(jnp.mean(jnp.linalg.norm(j_s - j_gt, axis=-1))) * 1e3)
-    return errs
+        e = jnp.linalg.norm(j_s - j_gt, axis=-1)  # [F, 22]
+        errs.append(float(jnp.mean(e)) * 1e3)
+        errs_body.append(float(jnp.mean(e[:, jnp.asarray(keep)])) * 1e3)
+        errs_ext.append(float(jnp.mean(e[:, jnp.asarray(_EXTREMITY_JOINTS)])) * 1e3)
+    return errs, errs_body, errs_ext
 
 
 def _tpu_watchdog(timeout_s: float = 180.0):
@@ -308,7 +340,7 @@ def main():
     out_w = solver.solve_prepared(preps_w, print_options=PRINT_OPTS)
     for s in stage_solvers:
         s.abort_after_segments = None
-    batch_mpjpe_mm(model, out_w["results"][:1], gts_w[:1])  # warm the metric programs
+    batch_mpjpe_mm(model, out_w["results"][:1], gts_w[:1])[0]  # warm the metric programs
     warmup_s = time.time() - t_w
 
     # ---- ONE timed sweep (batch generated above, before the cache config)
@@ -318,7 +350,7 @@ def main():
 
     total_frames = BATCH * F_FRAMES
     fps = total_frames / dt
-    errs = batch_mpjpe_mm(model, out["results"], gts)
+    errs, errs_body, errs_ext = batch_mpjpe_mm(model, out["results"], gts)
     err = float(np.mean(errs))
     evals = int(out["lbfgs_evals"])
     device_evals = sum(s.get("device_evals", 0) for s in out["eval_stats"].values())
@@ -338,7 +370,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2e_batch%d_solve_frames_per_sec_450f_41m_mpjpe_%.1fmm" % (BATCH, err),
+                "metric": "e2e_batch%d_solve%s_frames_per_sec_450f_41m_mpjpe_%.1fmm"
+                          % (BATCH, "_" + LAYOUT if LAYOUT else "", err),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": vs_baseline,
@@ -356,6 +389,9 @@ def main():
                     "device_evals": device_evals,
                     "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
                     "mpjpe_mm_per_sequence": [round(e, 1) for e in errs],
+                    "mpjpe_mm_body16_joints": round(float(np.mean(errs_body)), 1),
+                    "mpjpe_mm_extremity6_joints": round(float(np.mean(errs_ext)), 1),
+                    "marker_layout": LAYOUT or "random_vertices",
                     "vs_baseline_gpu_adjusted": vs_gpu,
                     "vs_baseline_note": "CPU-proxy denominator; GPU-adjusted range divides by 10-50x (BASELINE.md)",
                     "stage_times_s": out.get("stage_times_s"),

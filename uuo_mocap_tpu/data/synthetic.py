@@ -139,17 +139,27 @@ def generate_markers(
     occlusion_rate: float = 0.0,
     position_noise: float = 0.0,
     shuffle: bool = False,
+    vertex_ids=None,
 ) -> SyntheticMarkers:
     """Virtual markers at random surface vertices + normal offset
     (the reference's barycentric surface sampling, ``dataset_mocap.py:109-151``,
     with vertices as anchors; layout-based variant in
     ``data/marker_layout.py``).  Occluded markers are zeroed, matching the
-    origin-mask protocol (``optimization.py:703-715``)."""
+    origin-mask protocol (``optimization.py:703-715``).
+
+    ``vertex_ids`` overrides the random anchor draw (e.g. a named layout's
+    ids from ``marker_layout.resolve_layout_vertex_ids`` — random vertex
+    draws follow the mesh's torso-heavy density and leave ankles/feet/
+    wrists uninstrumented, unlike any real capture layout)."""
     rng = np.random.RandomState(seed)
     F = params.trans.shape[0]
     betas = jnp.broadcast_to(params.betas, (F, 10))
 
-    vid = rng.choice(model.num_vertices, num_markers, replace=False)
+    if vertex_ids is not None:
+        vid = np.asarray(vertex_ids, np.int64)
+        num_markers = int(vid.shape[0])
+    else:
+        vid = rng.choice(model.num_vertices, num_markers, replace=False)
     # jitted surface sampling: the eager op-by-op LBS + normals at [F, V]
     # costs minutes per 450-frame sequence on a 1-vCPU host (and ~0.4 s/op
     # in XLA compiles on the tunneled TPU backend)
