@@ -44,8 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-CACHE_DIR = os.path.expanduser("~/.cache/uuo_mocap_tpu_xla")
-DATA_CACHE_DIR = os.path.expanduser("~/.cache/uuo_mocap_tpu_bench_data")
+# Caches live INSIDE the repo (gitignored): $HOME was observed wiped between
+# sessions on this host (2026-08-18 — ~/.cache/uuo_mocap_tpu_xla vanished
+# after the morning's official run), and a cold-cache bench is what timed out
+# the round-2 driver capture.  /root/repo is the one durable directory.
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla")
+DATA_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "bench_data")
 PROXY_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_PROXY.json")
 
 F_FRAMES = 450

@@ -21,8 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # persistent compile cache: the solver programs take minutes to build; reuse
-# them across test sessions
-_cache = os.path.expanduser("~/.cache/uuo_mocap_tpu_xla_cpu")
+# them across test sessions.  Lives INSIDE the repo (gitignored): $HOME was
+# observed wiped between sessions on this host (2026-08-18), and a cold cache
+# is what pushed the fast test tier past its 10-minute budget.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla_cpu")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

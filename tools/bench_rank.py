@@ -143,6 +143,43 @@ for name, C, VT, prec, mode in VARIANTS:
     agree = float(jnp.mean((idx_x == idx_v).astype(jnp.float32)))
     print(f"  agreement vs XLA: {agree:.6f}")
 
+# ---- 1c. hierarchical coarse-to-fine ranking ---------------------------------
+# Agreement is measured on BOTH marker distributions: random points (the
+# harness default above) and surface-proximal points (vertices + cm-scale
+# noise — the distribution the solver actually ranks once roughly aligned).
+from uuo_mocap_tpu.ops.rank_hier import build_rank_table, hierarchical_nearest
+
+vids = rng.randint(0, V, size=(W, F, M))
+verts_np = np.asarray(verts)
+surf_markers = jnp.asarray(
+    np.take_along_axis(verts_np, vids[..., None], axis=2)
+    + rng.randn(W, F, M, 3).astype(np.float32) * 0.02
+)
+idx_surf_x = rank_xla(surf_markers, verts)
+
+for C_, R_, P_ in ((640, 10, 2), (640, 10, 1), (512, 12, 2), (896, 8, 2)):
+    table = build_rank_table(np.asarray(model.v_template), num_coarse=C_,
+                             num_cell_neighbors=R_, top_p=P_)
+    fn = jax.jit(jax.vmap(lambda m, v: hierarchical_nearest(m, v, table)))
+    label = f"rank hier C={C_} R={R_} P={P_} K={table.cand_ids.shape[1]}"
+    idx_h, _ = timeit(label, fn, markers, verts)
+    agree = float(jnp.mean((idx_x == idx_h).astype(jnp.float32)))
+    # distance error of the disagreeing picks (ties/near-ties are harmless)
+    d_x = jnp.sqrt(jnp.sum((markers - jnp.take_along_axis(
+        verts[:, :, :], idx_x[..., None].repeat(3, -1), axis=2)) ** 2, -1) + 1e-18)
+    d_h = jnp.sqrt(jnp.sum((markers - jnp.take_along_axis(
+        verts[:, :, :], idx_h[..., None].repeat(3, -1), axis=2)) ** 2, -1) + 1e-18)
+    rel = float(jnp.max(jnp.abs(d_h - d_x) / jnp.maximum(d_x, 1e-9)))
+    print(f"  agreement vs XLA: {agree:.6f}  max rel distance err: {rel:.2e}")
+    idx_hs = fn(surf_markers, verts)
+    agree_s = float(jnp.mean((idx_surf_x == idx_hs).astype(jnp.float32)))
+    d_xs = jnp.sqrt(jnp.sum((surf_markers - jnp.take_along_axis(
+        verts, idx_surf_x[..., None].repeat(3, -1), axis=2)) ** 2, -1) + 1e-18)
+    d_hs = jnp.sqrt(jnp.sum((surf_markers - jnp.take_along_axis(
+        verts, idx_hs[..., None].repeat(3, -1), axis=2)) ** 2, -1) + 1e-18)
+    rel_s = float(jnp.max(jnp.abs(d_hs - d_xs) / jnp.maximum(d_xs, 1e-9)))
+    print(f"  surface markers:  {agree_s:.6f}  max rel distance err: {rel_s:.2e}")
+
 # ---- 2. full sparse closure fwd+bwd -----------------------------------------
 def closure(p6, b, r6, t, mk, w):
     sp = S.SmplParams(

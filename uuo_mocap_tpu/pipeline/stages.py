@@ -109,11 +109,21 @@ _RANK_FRAME_CHUNK = 64  # frames per argmin step — bounds the [C, M, V] tile
 _RANK_PALLAS = os.environ.get("UUO_RANK_PALLAS", "0") == "1"
 
 
-def _ranked_nearest(markers, verts_ng, y_bias=None):
+def _ranked_nearest(markers, verts_ng, y_bias=None, table=None):
     """No-grad argmin vertex per marker, scanned over frame chunks so a
     possibly-materialized [F, M, V] distance tensor never exceeds
     [chunk, M, V] (~72 MB at the canonical shape) — many lanes of this run
-    concurrently under vmap and an unchunked ranking OOMs the chip."""
+    concurrently under vmap and an unchunked ranking OOMs the chip.
+
+    ``table`` (a ``rank_hier.RankTable``) switches to the coarse-to-fine
+    ranking — C + P*K distance work per (frame, marker) instead of V.
+    Vertex-subset bias (part_fit's subtree masking) keeps the dense path:
+    a cell's candidates can straddle the subset boundary."""
+    if table is not None and y_bias is None:
+        from uuo_mocap_tpu.ops.rank_hier import hierarchical_nearest
+
+        return hierarchical_nearest(markers, verts_ng, table,
+                                    frame_chunk=_RANK_FRAME_CHUNK)
     if _RANK_PALLAS:
         from uuo_mocap_tpu.ops.chamfer_pallas import (
             M_PAD, pallas_available, ranked_nearest_pallas,
@@ -144,7 +154,8 @@ def _ranked_nearest(markers, verts_ng, y_bias=None):
     return idx.reshape(K * C, -1)[:F]
 
 
-def _sparse_chamfer(model, sp: SmplParams, markers, weights, frame_valid=None):
+def _sparse_chamfer(model, sp: SmplParams, markers, weights, frame_valid=None,
+                    table=None):
     """Single-directional weighted chamfer with an O(M) backward.
 
     Ranking runs on a stop-gradient dense forward (f32-exact argmin — same
@@ -158,7 +169,7 @@ def _sparse_chamfer(model, sp: SmplParams, markers, weights, frame_valid=None):
     """
     sp_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, sp)
     verts_ng = _forward(model, sp_ng)["vertices"]  # [F, V, 3], no grad
-    idx = _ranked_nearest(markers, verts_ng)  # [F, M]
+    idx = _ranked_nearest(markers, verts_ng, table=table)  # [F, M]
     return _sparse_chamfer_at(model, sp, markers, weights, idx)
 
 
@@ -319,6 +330,19 @@ class SolveStages:
         # sparse-gradient path: exact when every active loss avoids dense
         # vertex tensors (the shipped config: full_chamfer + regs)
         sparse = single_dir and set(losses) <= _SPARSE_SAFE_LOSSES
+        # hierarchical coarse-to-fine ranking (optimizer.rank_hier /
+        # UUO_RANK_HIER=1): MEASURED COUNTER-RESULT — argmin agreement is
+        # ~0.9999 but the candidate gathers run 40x slower than the dense
+        # fused distance+argmin (tools/bench_rank.py, Benchmarks.md round 3);
+        # kept opt-in for documentation, default OFF.
+        hier = os.environ.get("UUO_RANK_HIER")
+        use_hier = (hier == "1") if hier is not None else bool(
+            cfg["optimizer"].get("rank_hier", False))
+        table = None
+        if sparse and use_hier:
+            from uuo_mocap_tpu.ops.rank_hier import rank_table_for
+
+            table = rank_table_for(model)
         # rank-freeze (optimizer.rank_per_iteration): compute the nearest-
         # vertex ranking once per L-BFGS iteration instead of once per
         # line-search evaluation — the dense no-grad forward + argmin is the
@@ -352,7 +376,7 @@ class SolveStages:
                             model, sp, d["markers"], d["weights"], idx)
                     else:
                         total += losses["full_chamfer"] * _sparse_chamfer(
-                            model, sp, d["markers"], d["weights"])
+                            model, sp, d["markers"], d["weights"], table=table)
             else:
                 out = _forward(model, sp)
                 if "part_chamfer" in losses:
