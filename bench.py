@@ -319,6 +319,21 @@ def main():
             "keep": kp[0] if len(kp) == 1 else kp,
             "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
         }
+    # subtree-tournament pruning, symmetric to the hypothesis prune: the part
+    # fit is an argmin over candidate subtrees; obviously-wrong subtrees are
+    # ranked out within ~15 iters.  Measured vs the full search (same host,
+    # same seeds): part_fit stage 51.0 -> 20.4 s, part_fit device evals
+    # 4,000 -> 240, end-to-end 20.2 -> 27.5 f/s at +0.2 mm drift
+    # (24.6 -> 24.8, gate passed) — see Benchmarks.md round 3.
+    # UUO_BENCH_PART_PRUNE=0 restores the full subtree search.
+    if os.environ.get("UUO_BENCH_PART_PRUNE", "1") == "1":
+        pai = [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_ITERS", "15").split(",")]
+        pkp = [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_KEEP", "2").split(",")]
+        cfg["parallel"]["part_prune"] = {
+            "enabled": True,
+            "at_iters": pai[0] if len(pai) == 1 else pai,
+            "keep": pkp[0] if len(pkp) == 1 else pkp,
+        }
     solver = MultiSequenceSolver(model, cfg)
     stage_solvers = (
         solver.stages._chamfer_solver, solver.stages._marker_solver, solver.part_fitter._solver,

@@ -203,6 +203,18 @@ class PartFitter:
 
         return run
 
+    def _score_lanes_any(self, *args):
+        """``_score_lanes`` for ANY lane count: pads to the next LANE_CHUNK
+        multiple by clamping to the last lane (pruned survivor sets are no
+        longer a chunk multiple)."""
+        Ln = args[0].shape[0]
+        pad = (-Ln) % LANE_CHUNK
+        if pad:
+            idx = jnp.asarray(np.clip(np.arange(Ln + pad), 0, Ln - 1))
+            args = tuple(a[idx] for a in args)
+        out = self._score_lanes(*args)
+        return out[:Ln]
+
     @functools.cached_property
     def _score_lanes(self):
         """Per-lane bidirectional chamfer score — every arg lane-batched
@@ -308,17 +320,72 @@ class PartFitter:
             "o_pose_body": o_pose_l, "o_betas": o_betas_l, "root_orient0": root0_l,
             "foot_contacts": fc_l, "frame_valid": fv_l,
         }
+        # ---- subtree-tournament pruning (opt-in, parallel.part_prune):
+        # the subtree search is a tournament — only the argmin-score subtree's
+        # fit survives (plus the 2nd-best score for the confidence ratio).
+        # Obviously-wrong subtrees (leg markers fit to an arm) are ranked out
+        # within a few iterations, yet the full search descends every lane to
+        # convergence (~45 iters).  Phase 1 partially descends ALL lanes
+        # (iter_cap, same compiled programs), scores them with the SAME
+        # bidirectional chamfer the final argmin uses, and later phases
+        # descend only the best ``keep`` subtrees per sequence, warm-started.
+        # Approximation (as with hypothesis_prune): a subtree that would win
+        # only after at_iters is lost — keep >= 2 covers close calls.
+        prune = dict((self.config.get("parallel") or {}).get("part_prune") or {})
+        _ai = prune.get("at_iters", 15)
+        _kp = prune.get("keep", 2)
+        rounds = [(int(a), max(int(k), 1)) for a, k in zip(
+            _ai if isinstance(_ai, (list, tuple)) else [_ai],
+            _kp if isinstance(_kp, (list, tuple)) else [_kp])]
+        do_prune = bool(prune.get("enabled")) and S_max > rounds[-1][1]
+
+        sub_ids = np.tile(np.arange(S_max), (Q, 1))  # original subtree index
+        S_cur = S_max
+        evals_per_seq = np.zeros(Q, np.int64)
+        scores_rows = np.full((Q, S_max), np.inf)  # best-known score per subtree
+        if do_prune:
+            done_iters = 0
+            for at_iters, keep in rounds:
+                if S_cur <= keep:
+                    continue
+                self._solver.iter_cap = max(at_iters - done_iters, 1)
+                try:
+                    p_opt, res = self._solver.run(params0, lane, {})
+                finally:
+                    self._solver.iter_cap = None
+                done_iters = at_iters
+                evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
+                sc = np.asarray(self._score_lanes_any(
+                    p_opt["z"], p_opt["betas"], p_opt["trans"], lane["vertex_mask"],
+                    lane["markers"], lane["marker_weights"], lane["o_pose_body"],
+                    lane["root_orient0"],
+                )).reshape(Q, S_cur)
+                for q in range(Q):
+                    scores_rows[q, sub_ids[q]] = sc[q]
+                local = np.sort(np.argsort(sc, axis=1)[:, :keep], axis=1)
+                sub_ids = np.take_along_axis(sub_ids, local, axis=1)
+                surv = jnp.asarray((np.arange(Q)[:, None] * S_cur + local).reshape(-1))
+                params0 = {k: v[surv] for k, v in p_opt.items()}
+                lane = {k: v[surv] for k, v in lane.items()}
+                S_cur = keep
+
         p_opt, res = self._solver.run(params0, lane, {})
+        evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
 
-        scores_l = self._score_lanes(
-            p_opt["z"], p_opt["betas"], p_opt["trans"], masks_l,
-            markers_l, weights_l, o_pose_l, root0_l,
+        scores_l = self._score_lanes_any(
+            p_opt["z"], p_opt["betas"], p_opt["trans"], lane["vertex_mask"],
+            lane["markers"], lane["marker_weights"], lane["o_pose_body"],
+            lane["root_orient0"],
         )
-        scores = np.asarray(scores_l).reshape(Q, S_max)
-        evals = np.asarray(res.num_evals).reshape(Q, S_max)
+        sc_final = np.asarray(scores_l).reshape(Q, S_cur)
+        for q in range(Q):
+            scores_rows[q, sub_ids[q]] = sc_final[q]
+        scores = scores_rows  # [Q, S_max] — survivors carry final scores,
+        # pruned lanes their last tournament score (stale by construction)
 
-        best = np.argmin(scores, axis=1)  # [Q]
-        sel = jnp.asarray(np.arange(Q) * S_max + best)
+        best_local = np.argmin(sc_final, axis=1)  # [Q] index into survivors
+        best = sub_ids[np.arange(Q), best_local]  # [Q] original subtree index
+        sel = jnp.asarray(np.arange(Q) * S_cur + best_local)
         relabel_q = jax.jit(jax.vmap(self._relabel))
         labels_b, best_root_b = relabel_q(
             markers_b, p_opt["z"][sel], p_opt["betas"][sel], p_opt["trans"][sel],
@@ -354,7 +421,7 @@ class PartFitter:
                 distance=jnp.asarray(row[int(best[q])]),
                 aabb_volume_ratio=aabb_ratio,
                 subtree_losses=jnp.asarray(row),
-                lbfgs_evals=int(evals[q].sum()),
+                lbfgs_evals=int(evals_per_seq[q]),
             ))
         return results
 
