@@ -14,6 +14,13 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# AOT program serialization (solver/aot.py) is OFF under pytest: exporting
+# every stage program and compiling the round-tripped StableHLO roughly
+# DOUBLES cold-cache compile work across the suite (measured: the fast tier
+# went 11 min -> >27 min).  The dedicated round-trip test (tests/test_aot.py)
+# opts back in; bench.py on the TPU keeps it on, where it pays off (the
+# round-3 capture burned 824 s of per-process tracing for a 53.5 s solve).
+os.environ.setdefault("UUO_AOT", "0")
 
 import jax  # noqa: E402
 

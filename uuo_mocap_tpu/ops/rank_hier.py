@@ -89,7 +89,12 @@ def build_rank_table(
     members = [np.where(owner == c)[0] for c in range(num_coarse)]
     cand_lists = []
     for c in range(num_coarse):
-        cand = np.concatenate([members[int(b)] for b in nbr[c]])
+        # seed with the cell's own center id: a degenerate template can give
+        # a cell (and all its neighbors) zero owned vertices, and np.pad
+        # mode='edge' crashes on an empty list
+        cand = np.concatenate(
+            [centers_idx[c : c + 1]] + [members[int(b)] for b in nbr[c]]
+        )
         cand_lists.append(cand)
     K = max(len(c) for c in cand_lists)
     # pad by repeating the first candidate — duplicates are harmless in an
@@ -104,14 +109,22 @@ _TABLE_CACHE: dict = {}
 
 
 def rank_table_for(model, **kw) -> RankTable:
-    """Per-model table cache (identity-checked — id() alone can alias
-    after GC)."""
+    """Per-model table cache.  The value holds a ``weakref`` to the model
+    (identity-checked — id() alone can alias after GC) so cached tables
+    never keep dead models alive; dead entries are pruned on every call."""
+    import weakref
+
+    for k in [k for k, (ref, _) in _TABLE_CACHE.items() if ref() is None]:
+        del _TABLE_CACHE[k]
     key = (id(model), tuple(sorted(kw.items())))
     hit = _TABLE_CACHE.get(key)
-    if hit is not None and hit[0] is model:
+    if hit is not None and hit[0]() is model:
         return hit[1]
     table = build_rank_table(np.asarray(model.v_template), **kw)
-    _TABLE_CACHE[key] = (model, table)
+    try:
+        _TABLE_CACHE[key] = (weakref.ref(model), table)
+    except TypeError:  # non-weakrefable model type: skip caching
+        pass
     return table
 
 

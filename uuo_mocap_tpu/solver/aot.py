@@ -1,0 +1,222 @@
+"""Persistent ahead-of-time program cache for the solver stages.
+
+Round-3 measurement (`BENCH_r03.json`): the bench capture spent 824 s in
+warmup for a 53.5 s solve — and the XLA *compile* cache was verified
+hitting.  The cost is per-process Python tracing + HLO lowering of the
+~dozen large stage programs (vmapped L-BFGS ``while_loop`` state machines
+over a 450-frame LBS forward), which `jax.jit` redoes in every process no
+matter what the compilation cache holds.
+
+This module serializes each traced+lowered program ONCE via ``jax.export``
+and reloads the StableHLO on later runs, skipping tracing and lowering
+entirely; the XLA compile of the deserialized module still goes through the
+persistent compilation cache, so a warm process pays only
+deserialize + cache-load per program.
+
+Keying: a program is only served when ALL of these match —
+  * every argument's (shape, dtype, pytree structure);
+  * the package source fingerprint (hash of every ``uuo_mocap_tpu`` .py
+    file — any code change invalidates every entry);
+  * the caller-supplied ``extra`` fingerprint (solver config + body-model
+    tensor hash: closures bake both into the program as constants);
+  * jax version and lowering platform.
+
+Everything is fail-open: any export/deserialize error falls back to the
+plain jitted callable (recorded in ``FALLBACKS`` for tests/diagnostics).
+
+The reference has no analog — its per-process warmup cost is zero because
+eager torch never compiles, and its per-eval cost is ~2000x ours for it
+(BASELINE.md).  This closes the one place the compiled design was paying
+for its own compilation.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import threading
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+_ENV_TOGGLE = "UUO_AOT"  # "0" disables; default on
+_ENV_DIR = "UUO_AOT_DIR"
+
+# diagnostics: list of (name, reason) for every fallback taken this process
+FALLBACKS: list = []
+
+_PKG_FP: Optional[str] = None
+_MODEL_FP: Dict[int, Tuple[Any, str]] = {}
+_LOCK = threading.Lock()
+
+
+def aot_enabled() -> bool:
+    return os.environ.get(_ENV_TOGGLE, "1") != "0"
+
+
+def default_cache_dir() -> str:
+    env = os.environ.get(_ENV_DIR)
+    if env:
+        return env
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, ".cache", "aot")
+
+
+def package_fingerprint() -> str:
+    """Hash of every .py source in the package — any code change must
+    invalidate every serialized program (a stale program would silently
+    compute old semantics)."""
+    global _PKG_FP
+    if _PKG_FP is not None:
+        return _PKG_FP
+    h = hashlib.sha256()
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, pkg_root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    _PKG_FP = h.hexdigest()[:16]
+    return _PKG_FP
+
+
+def config_fingerprint(config: Dict[str, Any]) -> str:
+    """Stable hash of a (nested, JSON-able) solver config dict."""
+    return hashlib.sha256(
+        json.dumps(config, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def model_fingerprint(model) -> str:
+    """Hash of the body model's tensor contents (they are baked into the
+    exported programs as constants).  Memoized per model identity."""
+    hit = _MODEL_FP.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(model):
+        arr = np.asarray(leaf)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    fp = h.hexdigest()[:16]
+    _MODEL_FP[id(model)] = (model, fp)
+    return fp
+
+
+def _avals_signature(args: Tuple) -> str:
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        parts.append(f"{getattr(leaf, 'shape', ())}:{getattr(leaf, 'dtype', type(leaf).__name__)}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+_SERIALIZATIONS_DONE = False
+
+
+def _register_serializations():
+    """``jax.export`` refuses to serialize unregistered custom pytree types;
+    register every NamedTuple that crosses a stage-program boundary (names
+    must be stable across processes — they key the serialized treedefs)."""
+    global _SERIALIZATIONS_DONE
+    if _SERIALIZATIONS_DONE:
+        return
+    from jax import export as jexport
+
+    def reg():
+        from uuo_mocap_tpu.pipeline.stages import MarkerAttachment, SmplParams
+        from uuo_mocap_tpu.solver.lbfgs import LbfgsResult, LbfgsState
+
+        for cls in (LbfgsState, LbfgsResult, SmplParams, MarkerAttachment):
+            try:
+                jexport.register_namedtuple_serialization(
+                    cls, serialized_name=f"uuo_mocap_tpu.{cls.__name__}")
+            except ValueError:
+                pass  # already registered (e.g. by a parallel test session)
+
+    reg()
+    _SERIALIZATIONS_DONE = True
+
+
+class AotCache:
+    """Disk-backed cache of exported (traced+lowered) programs.
+
+    ``wrap(name, jit_fn)`` returns a drop-in callable.  Per distinct
+    argument signature it either deserializes a previously exported program
+    (skipping trace+lower) or exports the jitted function once and persists
+    it for the next process.
+    """
+
+    def __init__(self, extra: str = "", cache_dir: Optional[str] = None):
+        self.extra = extra
+        self.cache_dir = cache_dir or default_cache_dir()
+        self.enabled = aot_enabled()
+        self.stats = {"hits": 0, "misses": 0, "fallbacks": 0}
+
+    def _key(self, name: str, args: Tuple) -> str:
+        platform = jax.default_backend()
+        raw = "|".join([
+            name, package_fingerprint(), self.extra, _avals_signature(args),
+            jax.__version__, platform,
+        ])
+        return hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+    def wrap(self, name: str, jit_fn: Callable) -> Callable:
+        if not self.enabled:
+            return jit_fn
+        cache = self
+
+        # per-signature state: key -> ("exp", jitted exp.call) | ("fallback", jit_fn)
+        loaded: Dict[str, Tuple[str, Callable]] = {}
+
+        def call(*args):
+            key = cache._key(name, args)
+            hit = loaded.get(key)
+            if hit is None:
+                hit = cache._load_or_export(name, key, jit_fn, args)
+                loaded[key] = hit
+            return hit[1](*args)
+
+        return call
+
+    def _load_or_export(self, name, key, jit_fn, args):
+        from jax import export as jexport
+
+        _register_serializations()
+
+        path = os.path.join(self.cache_dir, key + ".jexp")
+        try:
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    exp = jexport.deserialize(bytearray(f.read()))
+                self.stats["hits"] += 1
+                return ("exp", jax.jit(exp.call))
+        except Exception as e:  # corrupt / version-skewed entry: re-export
+            FALLBACKS.append((name, f"deserialize: {e}"))
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        try:
+            specs = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), args
+            )
+            exp = jexport.export(jit_fn)(*specs)
+            blob = exp.serialize()
+            with _LOCK:
+                os.makedirs(self.cache_dir, exist_ok=True)
+                tmp = path + f".tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+            self.stats["misses"] += 1
+            return ("exp", jax.jit(exp.call))
+        except Exception as e:
+            FALLBACKS.append((name, f"export: {e}"))
+            self.stats["fallbacks"] += 1
+            return ("fallback", jit_fn)

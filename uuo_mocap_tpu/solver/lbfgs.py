@@ -390,14 +390,23 @@ def make_lbfgs_step(fun: Callable[..., jnp.ndarray], opts: LbfgsOptions,
 
 
 def run_lbfgs_segment(fun, state: LbfgsState, opts: LbfgsOptions, num_iters: int,
-                      prepare=None) -> LbfgsState:
+                      prepare=None, iter_cap=None) -> LbfgsState:
     """Advance the optimizer by up to ``num_iters`` iterations (or until
-    done / max_iter) as one bounded device program.  vmap-compatible."""
+    done / max_iter) as one bounded device program.  vmap-compatible.
+
+    ``iter_cap`` (optional, may be a traced scalar): additional per-lane
+    TOTAL-iteration ceiling checked inside the loop, so caps below
+    ``num_iters`` are exact — a lane stops at ``n_iter == iter_cap`` instead
+    of running out the whole segment.  Passing it as a device scalar keeps
+    ONE compiled program for every cap value."""
     step = make_lbfgs_step(fun, opts, prepare=prepare)
 
     def cond(c):
         s, k = c
-        return (~s.done) & (s.n_iter < opts.max_iter) & (k < num_iters)
+        alive = (~s.done) & (s.n_iter < opts.max_iter) & (k < num_iters)
+        if iter_cap is not None:
+            alive = alive & (s.n_iter < iter_cap)
+        return alive
 
     def body(c):
         s, k = c
@@ -493,8 +502,14 @@ class BatchedLbfgs:
     def __init__(self, fun, opts: LbfgsOptions, segment_size: int = 100,
                  lane_chunk: int | None = None, max_width: int | None = None,
                  pad_width: bool = False, drain_shrink: bool = False,
-                 prepare=None):
+                 prepare=None, aot=None, name: str = "lbfgs"):
         self.fun = fun
+        # optional solver/aot.AotCache: serialize the traced+lowered
+        # init/segment programs to disk so later PROCESSES skip tracing and
+        # lowering (the round-3 bench burned 824 s of per-process tracing
+        # for a 53.5 s solve).  ``name`` keys the entries per stage.
+        self.aot = aot
+        self.name = name
         # optional rank-freeze hook: prepare(params, lane, shared) -> aux
         # computed once per L-BFGS iteration; fun then takes
         # (params, lane, shared, aux).  See make_lbfgs_step.
@@ -517,15 +532,16 @@ class BatchedLbfgs:
         # compiles every program of a stage at a bounded cost — bench.py's
         # compile-only warmup (VERDICT r2 item 1).
         self.abort_after_segments = None
-        # host-side PER-LANE iteration cap: lanes retire from the stream once
-        # n_iter >= iter_cap even though opts.max_iter (baked into the
-        # compiled segment program) is higher.  Because retirement is checked
-        # between segments, set caps to multiples of segment_size for exact
-        # budgets.  Unlike abort_after_segments this is per-LANE, so it is
-        # correct under streaming (every lane gets its cap, regardless of
-        # when it enters the working set) — used by hypothesis pruning's
-        # partial-descent phase (parallel/batch_solver.py).  Uses the SAME
-        # compiled programs as an uncapped run: zero extra traces/compiles.
+        # PER-LANE iteration cap: lanes stop once n_iter >= iter_cap even
+        # though opts.max_iter (baked into the compiled segment program) is
+        # higher.  The cap is enforced INSIDE the segment loop (passed to the
+        # device program as a dynamic scalar — one compiled program for every
+        # cap value), so budgets are exact even below segment_size: a 15-iter
+        # cap costs ~15 iterations, not a full 50-iter segment.  Per-LANE, so
+        # it is correct under streaming (every lane gets its cap, regardless
+        # of when it enters the working set) — used by hypothesis/part
+        # pruning's partial-descent phases (parallel/batch_solver.py,
+        # pipeline/part_fit.py).  Zero extra traces/compiles vs uncapped.
         self.iter_cap = None
         # optional pytree placer (e.g. NamedSharding over a mesh 'data' axis)
         # applied to the optimizer state + lane args at init and after every
@@ -563,10 +579,10 @@ class BatchedLbfgs:
                 x0, _ = ravel_pytree(params)
                 return lbfgs_init(lambda x: fun(unravel(x), lane_arg, shared), x0, opts)
 
-            def seg_one(state, lane_arg, shared):
+            def seg_one(state, lane_arg, shared, cap):
                 return run_lbfgs_segment(
                     lambda x: fun(unravel(x), lane_arg, shared),
-                    state, opts, self.segment_size,
+                    state, opts, self.segment_size, iter_cap=cap,
                 )
         else:
             def init_one(params, lane_arg, shared):
@@ -576,22 +592,30 @@ class BatchedLbfgs:
                     prepare=lambda x: prepare(unravel(x), lane_arg, shared),
                 )
 
-            def seg_one(state, lane_arg, shared):
+            def seg_one(state, lane_arg, shared, cap):
                 return run_lbfgs_segment(
                     lambda x, aux: fun(unravel(x), lane_arg, shared, aux),
                     state, opts, self.segment_size,
                     prepare=lambda x: prepare(unravel(x), lane_arg, shared),
+                    iter_cap=cap,
                 )
 
         vmap_init = jax.vmap(init_one, in_axes=(0, 0, None))
-        vmap_seg = jax.vmap(seg_one, in_axes=(0, 0, None))
+        vmap_seg = jax.vmap(seg_one, in_axes=(0, 0, None, None))
+
+        def maybe_aot(tag, jit_fn):
+            # exported programs carry no sharding annotations — keep plain
+            # jit under a mesh (reshard set) so GSPMD sees the input layouts
+            if self.aot is None or self.reshard is not None:
+                return jit_fn
+            return self.aot.wrap(f"{self.name}:{tag}", jit_fn)
 
         if eff_chunk is None:
-            return jax.jit(vmap_init), jax.jit(vmap_seg), unravel
+            return maybe_aot("init", jax.jit(vmap_init)), maybe_aot("seg", jax.jit(vmap_seg)), unravel
         else:
             C = eff_chunk
 
-            def grouped(fn):
+            def grouped_init(fn):
                 def run(tree, lane_args, shared):
                     L = jax.tree_util.tree_leaves(tree)[0].shape[0]
                     G = L // C
@@ -604,7 +628,21 @@ class BatchedLbfgs:
 
                 return run
 
-            return jax.jit(grouped(vmap_init)), jax.jit(grouped(vmap_seg)), unravel
+            def grouped_seg(fn):
+                def run(tree, lane_args, shared, cap):
+                    L = jax.tree_util.tree_leaves(tree)[0].shape[0]
+                    G = L // C
+
+                    def g(t):
+                        return jax.tree_util.tree_map(lambda a: a.reshape((G, C) + a.shape[1:]), t)
+
+                    out = jax.lax.map(lambda args: fn(*args, shared, cap), (g(tree), g(lane_args)))
+                    return jax.tree_util.tree_map(lambda a: a.reshape((L,) + a.shape[2:]), out)
+
+                return run
+
+            return (maybe_aot("init_g", jax.jit(grouped_init(vmap_init))),
+                    maybe_aot("seg_g", jax.jit(grouped_seg(vmap_seg))), unravel)
 
     @staticmethod
     def _take(tree, idx):
@@ -678,6 +716,10 @@ class BatchedLbfgs:
         segments = 0
         refills = 0
 
+        cap = self.opts.max_iter if self.iter_cap is None else min(
+            self.opts.max_iter, int(self.iter_cap))
+        cap_dev = jnp.asarray(cap, jnp.int32)
+
         def pick_active():
             """W working rows: live lanes first, padded with repeats of live
             lanes (duplicates evolve identically — writes are bit-equal)."""
@@ -717,13 +759,11 @@ class BatchedLbfgs:
                     refills += 1
                 prev_active = active
             t0 = _time.time()
-            ws_state = seg_fn(ws_state, ws_args, shared)
+            ws_state = seg_fn(ws_state, ws_args, shared, cap_dev)
             segments += 1
             done = _np.asarray(ws_state.done)
             iters = _np.asarray(ws_state.n_iter)
             evals = _np.asarray(ws_state.n_evals).astype(_np.int64)
-            cap = self.opts.max_iter if self.iter_cap is None else min(
-                self.opts.max_iter, int(self.iter_cap))
             fin_now = done | (iters >= cap)  # per-lane OR!
             # device burns W x (slowest lane's evals) per lockstep segment
             delta = evals - evals_prev[active]
