@@ -101,6 +101,12 @@ class MultiSequenceSolver:
         self.mesh = mesh
         self.stages = SolveStages(model, config)
         self.part_fitter = PartFitter(model, config)
+        if mesh is not None:
+            # exported AOT programs carry no sharding annotations; under a
+            # mesh the stage programs must stay plain jit so GSPMD sees the
+            # NamedSharding-placed inputs (solver/aot.py)
+            self.stages._aot.enabled = False
+            self.part_fitter._aot.enabled = False
         pcfg = config.get("parallel") or {}
         # lane_width DEFAULTS to 16 — the largest program width validated
         # stable on this chip (32-wide L-BFGS chamfer programs crash the TPU
@@ -136,6 +142,21 @@ class MultiSequenceSolver:
                 self.part_fitter._solver,
             ):
                 solver.reshard = resharder
+
+    @property
+    def _seed_roots(self):
+        """Cached yaw-hypothesis root seeding program (a per-call jax.jit
+        here would re-trace on every solve — host tax)."""
+        fn = getattr(self, "_seed_roots_fn", None)
+        if fn is None:
+            fn = jax.jit(jax.vmap(jax.vmap(
+                lambda angle, r: rot.normalize_rotation(
+                    rot.rot_z(jnp.broadcast_to(angle[None, None],
+                                               (r.shape[0], 1, 1))) @ r
+                ),
+                in_axes=(0, None)), in_axes=(None, 0)))
+            self._seed_roots_fn = fn
+        return fn
 
     def _configure_solver(self, solver):
         """Apply the sweep's width/pad/reshard settings to a lazily-built
@@ -184,12 +205,6 @@ class MultiSequenceSolver:
                 "reprojection stages need HMR camera streams; prepare_sequence "
                 "found none on at least one sequence (synthetic ImgSmpl priors "
                 "carry no camera data)"
-            )
-        if cfg["stages"]["marker"].get("use_sdf"):
-            raise NotImplementedError(
-                "marker.use_sdf solves through marker_stage_sdf, which the "
-                "lane-batched sweep does not dispatch to yet; use the "
-                "sequential solver (cli.test without --batch) for this config"
             )
         model = self.model
         stages = self.stages
@@ -399,12 +414,7 @@ class MultiSequenceSolver:
         log(f"Batch[{Q}]: chamfer+marker, {Ln} lanes ({Q} sequences x {A} hypotheses)...")
 
         # [Q, A, F, 1, 3, 3] -> [Q*A, F, 1, 3, 3], hypothesis-minor
-        seed_roots = jax.jit(jax.vmap(jax.vmap(
-            lambda angle, r: rot.normalize_rotation(
-                rot.rot_z(jnp.broadcast_to(angle[None, None], (F, 1, 1))) @ r
-            ),
-            in_axes=(0, None)), in_axes=(None, 0)))
-        root0_l = seed_roots(angles, root_seed).reshape(Ln, F, 1, 3, 3)
+        root0_l = self._seed_roots(angles, root_seed).reshape(Ln, F, 1, 3, 3)
 
         def lane_rep(x):  # [Q, ...] -> [Q*A, ...] sequence-major
             return jnp.repeat(x, A, axis=0)
@@ -418,6 +428,14 @@ class MultiSequenceSolver:
 
         do_chamfer = cfg["stages"]["chamfer"]["num_iters"] > 0
         do_marker = cfg["stages"]["marker"]["num_iters"] > 0
+        # SDF mode co-optimizes virtual marker positions through the learned
+        # nets — dispatched per lane exactly like the sequential path
+        # (stages.marker_stage_batched -> marker_stage_sdf)
+        if cfg["stages"]["marker"].get("use_sdf"):
+            self._configure_solver(stages._marker_solver_sdf)
+            marker_lanes = stages.marker_stage_sdf_lanes
+        else:
+            marker_lanes = stages.marker_stage_lanes
 
         img_mask_l = lane_rep(img_mask_b)
         W = self.lane_width
@@ -446,9 +464,14 @@ class MultiSequenceSolver:
             # lanes a single late tournament would have carried to 150).
             _ai = prune.get("at_iters", 150)
             _kp = prune.get("keep", 1)
-            rounds = [(int(a), max(int(k), 1)) for a, k in zip(
-                _ai if isinstance(_ai, (list, tuple)) else [_ai],
-                _kp if isinstance(_kp, (list, tuple)) else [_kp])]
+            _ai = _ai if isinstance(_ai, (list, tuple)) else [_ai]
+            _kp = _kp if isinstance(_kp, (list, tuple)) else [_kp]
+            if len(_ai) != len(_kp):
+                raise ValueError(
+                    f"hypothesis_prune cascade length mismatch: at_iters "
+                    f"{list(_ai)} vs keep {list(_kp)} — both lists must pair "
+                    "up round-for-round")
+            rounds = [(int(a), max(int(k), 1)) for a, k in zip(_ai, _kp)]
             do_prune = bool(prune.get("enabled")) and A > rounds[-1][1]
             if do_prune:
                 # phase 1 only has to RANK lanes — hypothesis_prune.rank_phase1
@@ -532,11 +555,12 @@ class MultiSequenceSolver:
                     )
                 jax.block_until_ready(attach_all.vertex_ids)
             with timed("marker"):
-                marker_all, res_m = stages.marker_stage_lanes(
+                marker_all, res_m = marker_lanes(
                     markers_l, weights_l, o_pose_l, o_betas_l, chamfer_all, attach_all, fv_l,
                 )
             total_evals += int(np.sum(np.asarray(res_m.num_evals)))
-            grab_stats("marker", stages._marker_solver)
+            grab_stats("marker", stages._marker_solver_sdf
+                       if cfg["stages"]["marker"].get("use_sdf") else stages._marker_solver)
         else:
             marker_all = chamfer_all
 
@@ -582,12 +606,13 @@ class MultiSequenceSolver:
                         labels_np.append(lab)
                     marker_labels_out = np.stack(labels_np)
                 with timed("marker_final"):
-                    params_q, res_f = stages.marker_stage_lanes(
+                    params_q, res_f = marker_lanes(
                         markers_b, weights_b, params_q.pose_body, o_betas_b,
                         params_q, attach_q, frame_valid_b,
                     )
                 total_evals += int(np.sum(np.asarray(res_f.num_evals)))
-                grab_stats("marker_final", stages._marker_solver)
+                grab_stats("marker_final", stages._marker_solver_sdf
+                           if cfg["stages"]["marker"].get("use_sdf") else stages._marker_solver)
 
         # ---- per-sequence output assembly (multimodal.py:679-710)
         results = []
@@ -704,12 +729,7 @@ class MultiSequenceSolver:
             img_mask = jnp.ones((S, F))
         frame_valid = jnp.ones((S, F))
 
-        seed_roots = jax.jit(jax.vmap(jax.vmap(
-            lambda angle, r: rot.normalize_rotation(
-                rot.rot_z(jnp.broadcast_to(angle[None, None], (F, 1, 1))) @ r
-            ),
-            in_axes=(0, None)), in_axes=(None, 0)))
-        root0_l = seed_roots(angles, root_orient0).reshape(Ln, F, 1, 3, 3)
+        root0_l = self._seed_roots(angles, root_orient0).reshape(Ln, F, 1, 3, 3)
 
         def lane_rep(x):
             return jnp.repeat(x, A, axis=0)

@@ -80,6 +80,11 @@ class PartFitter:
         self.model = model
         self.config = config
         self.vertex_labels = jnp.argmax(model.lbs_weights, axis=-1)
+        from uuo_mocap_tpu.solver.aot import AotCache, config_fingerprint, model_fingerprint
+
+        # persistent AOT program cache (see stages.SolveStages / solver/aot.py)
+        self._aot = AotCache(
+            extra=config_fingerprint(config) + ":" + model_fingerprint(model))
 
     @functools.cached_property
     def _solver(self) -> BatchedLbfgs:
@@ -143,7 +148,8 @@ class PartFitter:
                     p["trans"], jnp.mean(markers, axis=1), d["frame_valid"])
             return total
 
-        return BatchedLbfgs(fun, _stage_opts(cfg, "part"), segment_size=SEGMENT_SIZE, lane_chunk=LANE_CHUNK)
+        return BatchedLbfgs(fun, _stage_opts(cfg, "part"), segment_size=SEGMENT_SIZE,
+                            lane_chunk=LANE_CHUNK, aot=self._aot, name="part")
 
     @functools.cached_property
     def _score_batch(self):
@@ -161,7 +167,6 @@ class PartFitter:
 
         vm = jax.vmap(score_one, in_axes=(0, 0, 0, 0, None, None, None, None))
 
-        @jax.jit
         def run(z_b, betas_b, trans_b, masks, markers, marker_weights, o_pose_body, root_orient0):
             S = masks.shape[0]
             G = S // LANE_CHUNK
@@ -175,14 +180,13 @@ class PartFitter:
             )
             return out.reshape(S)
 
-        return run
+        return self._aot.wrap("part_score_batch", jax.jit(run))
 
     @functools.cached_property
-    def _relabel(self):
+    def _relabel_fn(self):
         vertex_labels = self.vertex_labels
         model = self.model
 
-        @jax.jit
         def run(markers, best_z, best_betas, best_trans, o_pose_body, root_orient0):
             """Nearest-vertex label per marker, averaged over frames
             (reference ``markers_utils.py:592-597``)."""
@@ -202,6 +206,14 @@ class PartFitter:
             return vertex_labels[nearest], z_root
 
         return run
+
+    @functools.cached_property
+    def _relabel(self):
+        return self._aot.wrap("part_relabel", jax.jit(self._relabel_fn))
+
+    @functools.cached_property
+    def _relabel_q(self):
+        return self._aot.wrap("part_relabel_q", jax.jit(jax.vmap(self._relabel_fn)))
 
     def _score_lanes_any(self, *args):
         """``_score_lanes`` for ANY lane count: pads to the next LANE_CHUNK
@@ -232,7 +244,6 @@ class PartFitter:
 
         vm = jax.vmap(score_one)
 
-        @jax.jit
         def run(z_b, betas_b, trans_b, masks, markers_l, weights_l, o_pose_l, root0_l):
             Ln = masks.shape[0]
             G = Ln // LANE_CHUNK
@@ -246,7 +257,7 @@ class PartFitter:
             )
             return out.reshape(Ln)
 
-        return run
+        return self._aot.wrap("part_score_lanes", jax.jit(run))
 
     def fit_batch(
         self,
@@ -285,16 +296,21 @@ class PartFitter:
                     self.model, num_bones=int(num_rigid_groups[q]),
                     similarity_threshold=scfg.get("similarity_threshold"),
                 )
-            per_seq.append((masks_np, subtrees))
-        S_max = max(m.shape[0] for m, _ in per_seq)
+            # explicit lane -> ORIGINAL subtree index (enumerate pads lane i
+            # with subtrees[i % S]); carried through every prune round so a
+            # padding lane can never be attributed to the wrong subtree
+            orig = np.arange(masks_np.shape[0]) % len(subtrees)
+            per_seq.append((masks_np, subtrees, orig))
+        S_max = max(m.shape[0] for m, _, _ in per_seq)
 
-        def pad_masks(m):
+        def pad_rows(m):
             if m.shape[0] == S_max:
                 return m
             reps = np.arange(S_max - m.shape[0]) % m.shape[0]
             return np.concatenate([m, m[reps]], axis=0)
 
-        masks = jnp.asarray(np.stack([pad_masks(m) for m, _ in per_seq]))  # [Q, S_max, V]
+        masks = jnp.asarray(np.stack([pad_rows(m) for m, _, _ in per_seq]))  # [Q, S_max, V]
+        lane_orig = np.stack([pad_rows(o) for _, _, o in per_seq])  # [Q, S_max]
         Ln = Q * S_max
 
         def lane_rep(x):  # [Q, ...] -> [Q*S_max, ...] (sequence-major)
@@ -334,12 +350,50 @@ class PartFitter:
         prune = dict((self.config.get("parallel") or {}).get("part_prune") or {})
         _ai = prune.get("at_iters", 15)
         _kp = prune.get("keep", 2)
-        rounds = [(int(a), max(int(k), 1)) for a, k in zip(
-            _ai if isinstance(_ai, (list, tuple)) else [_ai],
-            _kp if isinstance(_kp, (list, tuple)) else [_kp])]
+        _ai = _ai if isinstance(_ai, (list, tuple)) else [_ai]
+        _kp = _kp if isinstance(_kp, (list, tuple)) else [_kp]
+        if len(_ai) != len(_kp):
+            raise ValueError(
+                f"part_prune cascade length mismatch: at_iters {list(_ai)} vs "
+                f"keep {list(_kp)} — both lists must pair up round-for-round")
+        rounds = [(int(a), max(int(k), 1)) for a, k in zip(_ai, _kp)]
         do_prune = bool(prune.get("enabled")) and S_max > rounds[-1][1]
 
-        sub_ids = np.tile(np.arange(S_max), (Q, 1))  # original subtree index
+        # honest eval accounting across ALL prune phases (grab_stats reads
+        # last_run_stats once per stage — a single-phase value would hide the
+        # phase-1 tournament's device work)
+        agg_stats: Dict[str, int] = {}
+
+        def merge_stats(st):
+            for k, v in st.items():
+                if k in ("width", "lanes"):
+                    agg_stats[k] = v
+                else:
+                    agg_stats[k] = agg_stats.get(k, 0) + v
+
+        def pick_survivors(sc_row, orig_row, keep):
+            """Stable best-score order, deduplicated by ORIGINAL subtree id
+            (padding lanes descend bit-identically to their originals, so an
+            unstable sort could keep a duplicate pair and degrade keep=2 to
+            one distinct subtree)."""
+            order = np.argsort(sc_row, kind="stable")
+            chosen, seen = [], set()
+            for i in order:
+                oid = int(orig_row[i])
+                if oid in seen:
+                    continue
+                seen.add(oid)
+                chosen.append(int(i))
+                if len(chosen) == keep:
+                    break
+            for i in order:  # fewer distinct subtrees than keep: pad with dups
+                if len(chosen) == keep:
+                    break
+                if int(i) not in chosen:
+                    chosen.append(int(i))
+            return np.sort(np.asarray(chosen[:keep]))
+
+        sub_ids = np.tile(np.arange(S_max), (Q, 1))  # padded lane index
         S_cur = S_max
         evals_per_seq = np.zeros(Q, np.int64)
         scores_rows = np.full((Q, S_max), np.inf)  # best-known score per subtree
@@ -353,6 +407,7 @@ class PartFitter:
                     p_opt, res = self._solver.run(params0, lane, {})
                 finally:
                     self._solver.iter_cap = None
+                merge_stats(self._solver.last_run_stats)
                 done_iters = at_iters
                 evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
                 sc = np.asarray(self._score_lanes_any(
@@ -362,7 +417,10 @@ class PartFitter:
                 )).reshape(Q, S_cur)
                 for q in range(Q):
                     scores_rows[q, sub_ids[q]] = sc[q]
-                local = np.sort(np.argsort(sc, axis=1)[:, :keep], axis=1)
+                local = np.stack([
+                    pick_survivors(sc[q], lane_orig[q, sub_ids[q]], keep)
+                    for q in range(Q)
+                ])
                 sub_ids = np.take_along_axis(sub_ids, local, axis=1)
                 surv = jnp.asarray((np.arange(Q)[:, None] * S_cur + local).reshape(-1))
                 params0 = {k: v[surv] for k, v in p_opt.items()}
@@ -370,6 +428,8 @@ class PartFitter:
                 S_cur = keep
 
         p_opt, res = self._solver.run(params0, lane, {})
+        merge_stats(self._solver.last_run_stats)
+        self._solver.last_run_stats = agg_stats
         evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
 
         scores_l = self._score_lanes_any(
@@ -384,10 +444,9 @@ class PartFitter:
         # pruned lanes their last tournament score (stale by construction)
 
         best_local = np.argmin(sc_final, axis=1)  # [Q] index into survivors
-        best = sub_ids[np.arange(Q), best_local]  # [Q] original subtree index
+        best = sub_ids[np.arange(Q), best_local]  # [Q] padded lane index
         sel = jnp.asarray(np.arange(Q) * S_cur + best_local)
-        relabel_q = jax.jit(jax.vmap(self._relabel))
-        labels_b, best_root_b = relabel_q(
+        labels_b, best_root_b = self._relabel_q(
             markers_b, p_opt["z"][sel], p_opt["betas"][sel], p_opt["trans"][sel],
             o_pose_body_b, root_orient0_b,
         )
@@ -396,7 +455,12 @@ class PartFitter:
         for q in range(Q):
             subtrees = per_seq[q][1]
             row = scores[q]
-            uniq = np.unique(np.round(row, 12))
+            # confidence ratio from SURVIVOR (converged) scores when possible:
+            # pruned lanes' stale phase-1 scores are systematically less
+            # converged (higher) and would inflate the 2nd-distinct value
+            uniq = np.unique(np.round(sc_final[q], 12))
+            if len(uniq) < 2:
+                uniq = np.unique(np.round(row[np.isfinite(row)], 12))
             ratio = float(uniq[1] / uniq[0]) if len(uniq) > 1 else 0.0
             fitted_cols = np.asarray(jnp.max(marker_weights_b[q], axis=0) > 0)
             if int(fitted_cols.sum()) == 1:
@@ -417,7 +481,7 @@ class PartFitter:
                 ),
                 marker_labels=jnp.broadcast_to(labels_b[q][None], (F, M)),
                 marker_weights=weights_out,
-                chain=np.asarray(subtrees[int(best[q]) % len(subtrees)], np.int32),
+                chain=np.asarray(subtrees[int(lane_orig[q, best[q]])], np.int32),
                 distance=jnp.asarray(row[int(best[q])]),
                 aabb_volume_ratio=aabb_ratio,
                 subtree_losses=jnp.asarray(row),

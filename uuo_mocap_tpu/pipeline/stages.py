@@ -216,6 +216,14 @@ class SolveStages:
         self.config = config
         self.vertex_labels = jnp.argmax(model.lbs_weights, axis=-1)  # [V]
         self.part_ids = jnp.arange(model.lbs_weights.shape[1])
+        # persistent AOT program cache: skip per-process tracing/lowering of
+        # the stage programs (solver/aot.py; round-3 bench: 824 s warmup for
+        # a 53.5 s solve).  Config+model fingerprints key the entries (both
+        # are baked into the programs as constants).
+        from uuo_mocap_tpu.solver.aot import AotCache, config_fingerprint, model_fingerprint
+
+        self._aot = AotCache(
+            extra=config_fingerprint(config) + ":" + model_fingerprint(model))
 
     # ------------------------------------------------------------------ root
     @functools.cached_property
@@ -268,7 +276,8 @@ class SolveStages:
                 total += losses["ground"] * L.ground_loss_joints(out["joints"], d["frame_valid"])
             return total
 
-        return BatchedLbfgs(fun, _stage_opts(cfg, "root"), segment_size=SEGMENT_SIZE)
+        return BatchedLbfgs(fun, _stage_opts(cfg, "root"), segment_size=SEGMENT_SIZE,
+                            aot=self._aot, name="root")
 
     def root_stage(self, markers, weights, o_pose_body, betas0, root_orient0, trans0,
                    marker_labels_mode, o_betas, frame_valid=None):
@@ -409,7 +418,9 @@ class SolveStages:
         # (compile blow-up of map x vmap x nested while_loops).
         return BatchedLbfgs(fun, _stage_opts(cfg, "chamfer", lr_override=0.1),
                             segment_size=SEGMENT_SIZE,
-                            prepare=prepare if rank_freeze else None)
+                            prepare=prepare if rank_freeze else None,
+                            aot=self._aot,
+                            name="chamfer_rpi" if rank_per_iteration else "chamfer")
 
     def chamfer_stage_batched(self, markers, weights, o_pose_body, o_betas,
                               pose0, betas0, root0_batch, trans0, marker_labels_mode,
@@ -438,15 +449,11 @@ class SolveStages:
             "frame_valid": jnp.ones(F) if frame_valid is None else frame_valid,
         }
         p_opt, res = self._chamfer_solver.run(params0, lane, shared)
-        post = jax.jit(jax.vmap(lambda p, r0: SmplParams(
-            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
-            self._chamfer_apply(p["z"], r0), p["trans"],
-        )))
-        return post(p_opt, root0_batch), res
+        return self._post_chamfer(p_opt, root0_batch), res
 
     # ----------------------------------------------------- nearest points
     @functools.cached_property
-    def nearest_points(self):
+    def _nearest_points_fn(self):
         cfg = self.config
         loc_cfg = cfg["stages"]["compute_locations"]
         use_mean = bool(loc_cfg["use_mean"])
@@ -466,7 +473,6 @@ class SolveStages:
             mid_lo = jnp.maximum((n - 1) // 2, 0)
             return 0.5 * (sorted_vals[mid_lo] + sorted_vals[mid_hi])
 
-        @jax.jit
         def run(markers, params: SmplParams, img_mask, marker_labels_mode=None):
             """Marker->surface correspondence (reference
             ``compute_nearest_points``, ``optimization.py:402-642``).
@@ -543,9 +549,14 @@ class SolveStages:
         return run
 
     @functools.cached_property
+    def nearest_points(self):
+        return self._aot.wrap("nearest_points", jax.jit(self._nearest_points_fn))
+
+    @functools.cached_property
     def nearest_points_batched(self):
-        run = self.nearest_points
-        return jax.jit(jax.vmap(lambda m, p, im, lbl: run(m, p, im, lbl), in_axes=(None, 0, None, None)))
+        run = self._nearest_points_fn
+        return self._aot.wrap("nearest_points_batched", jax.jit(
+            jax.vmap(lambda m, p, im, lbl: run(m, p, im, lbl), in_axes=(None, 0, None, None))))
 
     # ---------------------------------------------------------------- marker
     @functools.cached_property
@@ -579,7 +590,8 @@ class SolveStages:
                 total += losses["temporal"] * L.temporal_loss(pose, d["frame_valid"])
             return total
 
-        return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE)
+        return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE,
+                            aot=self._aot, name="marker")
 
     @functools.cached_property
     def _marker_solver_sdf(self) -> BatchedLbfgs:
@@ -597,6 +609,7 @@ class SolveStages:
         self._sdf = sdf
 
         def fun(p, lane, shared):
+            d = _data(lane, shared)
             pose = rot.rotation_6d_to_matrix(p["pose6d"])
             root = rot.rotation_6d_to_matrix(p["root6d"])
             sp = SmplParams(pose, p["betas"], root, p["trans"])
@@ -605,14 +618,28 @@ class SolveStages:
             virtual = jnp.einsum("mv,fvd->fmd", bc, out["vertices"])
             total = 0.0
             if "marker" in losses:
-                total += losses["marker"] * L.marker_loss(shared["markers"], virtual, shared["weights"])
+                total += losses["marker"] * L.marker_loss(d["markers"], virtual, d["weights"])
             if "reg_pose_body" in losses:
-                total += losses["reg_pose_body"] * L.mse(pose, shared["o_pose_body"])
+                total += losses["reg_pose_body"] * L.mse(pose, d["o_pose_body"])
             if "reg_betas" in losses:
-                total += losses["reg_betas"] * L.mse(p["betas"], shared["o_betas"])
+                total += losses["reg_betas"] * L.mse(p["betas"], d["o_betas"])
             return total
 
-        return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE)
+        return BatchedLbfgs(fun, _stage_opts(cfg, "marker"), segment_size=SEGMENT_SIZE,
+                            aot=self._aot, name="marker_sdf")
+
+    @functools.cached_property
+    def _seed_virtual(self):
+        """[A]-batched attachment -> virtual point seeds on the template."""
+        self._marker_solver_sdf  # noqa: B018 — binds self._sdf
+        sdf = self._sdf
+        num_vertices = self.model.num_vertices
+
+        def seed_points(att):
+            oh = MarkerAttachment(att.vertex_ids, att.weights).to_one_hot(num_vertices)
+            return sdf.barycentric_one_hot_to_points(oh)
+
+        return jax.jit(jax.vmap(seed_points))
 
     def marker_stage_sdf(self, markers, weights, o_pose_body, o_betas,
                          params_batch: SmplParams, attachments: MarkerAttachment,
@@ -620,32 +647,17 @@ class SolveStages:
         """SDF-mode marker IK: seed virtual points from the attachments on
         the template and co-optimize them with the body parameters."""
         solver = self._marker_solver_sdf
-        sdf = self._sdf
         A = params_batch.trans.shape[0]
 
-        def seed_points(att):
-            oh = MarkerAttachment(att.vertex_ids, att.weights).to_one_hot(self.model.num_vertices)
-            return sdf.barycentric_one_hot_to_points(oh)
-
-        virtual0 = jax.jit(jax.vmap(seed_points))(attachments)
-        to6d = jax.jit(jax.vmap(lambda sp: {
-            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
-            "betas": sp.betas,
-            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
-            "trans": sp.trans,
-        }))
-        params0 = dict(to6d(params_batch))
+        virtual0 = self._seed_virtual(attachments)
+        params0 = dict(self._to6d(params_batch))
         params0["virtual_points"] = virtual0
         shared = {"markers": markers, "weights": weights,
                   "o_pose_body": o_pose_body, "o_betas": o_betas,
                   "frame_valid": jnp.ones(markers.shape[0]) if frame_valid is None else frame_valid}
         lane = {"_": jnp.zeros((A, 1))}
         p_opt, res = solver.run(params0, lane, shared)
-        post = jax.jit(jax.vmap(lambda p: SmplParams(
-            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
-            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
-        )))
-        return post(p_opt), res
+        return self._post_marker(p_opt), res
 
     def marker_stage_batched(self, markers, weights, o_pose_body, o_betas,
                              params_batch: SmplParams, attachments: MarkerAttachment,
@@ -660,13 +672,7 @@ class SolveStages:
                 markers, weights, o_pose_body, o_betas, params_batch, attachments,
                 frame_valid=frame_valid,
             )
-        to6d = jax.jit(jax.vmap(lambda sp: {
-            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
-            "betas": sp.betas,
-            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
-            "trans": sp.trans,
-        }))
-        params0 = to6d(params_batch)
+        params0 = self._to6d(params_batch)
         lane = {"att_ids": attachments.vertex_ids, "att_w": attachments.weights}
         shared = {
             "markers": markers, "weights": weights,
@@ -674,11 +680,7 @@ class SolveStages:
             "frame_valid": jnp.ones(markers.shape[0]) if frame_valid is None else frame_valid,
         }
         p_opt, res = self._marker_solver.run(params0, lane, shared)
-        post = jax.jit(jax.vmap(lambda p: SmplParams(
-            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
-            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
-        )))
-        return post(p_opt), res
+        return self._post_marker(p_opt), res
 
     # ---------------------------------------------------- multi-sequence lanes
     # The same BatchedLbfgs instances serve the multi-sequence sweep: every
@@ -710,10 +712,7 @@ class SolveStages:
             "marker_labels_mode": labels_l, "frame_valid": frame_valid_l,
         }
         p_opt, res = solver.run(params0, lane, {})
-        post = jax.jit(jax.vmap(lambda p, r0, op: SmplParams(
-            op, p["betas"], self._root_apply(p["z"], r0), p["trans"],
-        )))
-        return post(p_opt, root0_l, o_pose_l), res
+        return self._post_root(p_opt, root0_l, o_pose_l), res
 
     def chamfer_stage_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
                             pose0_l, betas0_l, root0_l, trans0_l, labels_l,
@@ -743,23 +742,13 @@ class SolveStages:
             "marker_labels_mode": labels_l, "frame_valid": frame_valid_l,
         }
         p_opt, res = solver.run(params0, lane, {})
-        post = jax.jit(jax.vmap(lambda p, r0: SmplParams(
-            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
-            self._chamfer_apply(p["z"], r0), p["trans"],
-        )))
-        return post(p_opt, root0_l), res
+        return self._post_chamfer(p_opt, root0_l), res
 
     def marker_stage_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
                            params_l: SmplParams, attachments_l: MarkerAttachment,
                            frame_valid_l):
         """Per-lane marker IK (multi-sequence form of ``marker_stage_batched``)."""
-        to6d = jax.jit(jax.vmap(lambda sp: {
-            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
-            "betas": sp.betas,
-            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
-            "trans": sp.trans,
-        }))
-        params0 = to6d(params_l)
+        params0 = self._to6d(params_l)
         lane = {
             "att_ids": attachments_l.vertex_ids, "att_w": attachments_l.weights,
             "markers": markers_l, "weights": weights_l,
@@ -767,33 +756,81 @@ class SolveStages:
             "frame_valid": frame_valid_l,
         }
         p_opt, res = self._marker_solver.run(params0, lane, {})
-        post = jax.jit(jax.vmap(lambda p: SmplParams(
-            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
-            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
-        )))
-        return post(p_opt), res
+        return self._post_marker(p_opt), res
+
+    def marker_stage_sdf_lanes(self, markers_l, weights_l, o_pose_l, o_betas_l,
+                               params_l: SmplParams, attachments_l: MarkerAttachment,
+                               frame_valid_l):
+        """Per-lane SDF-mode marker IK (multi-sequence form of
+        ``marker_stage_sdf``, signature-compatible with
+        ``marker_stage_lanes`` so the batched sweep dispatches on
+        ``marker.use_sdf`` exactly like the sequential path,
+        reference ``optimization.py:288-399`` with ``utils/sdf.py:47-85``)."""
+        solver = self._marker_solver_sdf
+        params0 = dict(self._to6d(params_l))
+        params0["virtual_points"] = self._seed_virtual(attachments_l)
+        lane = {
+            "markers": markers_l, "weights": weights_l,
+            "o_pose_body": o_pose_l, "o_betas": o_betas_l,
+            "frame_valid": frame_valid_l,
+        }
+        p_opt, res = solver.run(params0, lane, {})
+        return self._post_marker(p_opt), res
 
     @functools.cached_property
     def nearest_points_lanes(self):
-        run = self.nearest_points
-        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0)))
+        run = self._nearest_points_fn
+        return self._aot.wrap("nearest_points_lanes",
+                              jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0))))
 
     @functools.cached_property
     def nearest_points_lanes_nolabel(self):
-        run = self.nearest_points
-        return jax.jit(jax.vmap(lambda m, p, im: run(m, p, im, None), in_axes=(0, 0, 0)))
+        run = self._nearest_points_fn
+        return self._aot.wrap("nearest_points_lanes_nolabel", jax.jit(
+            jax.vmap(lambda m, p, im: run(m, p, im, None), in_axes=(0, 0, 0))))
 
     @functools.cached_property
     def score_chamfer_lanes(self):
-        run = self.score_chamfer
-        return jax.jit(jax.vmap(run, in_axes=(0, 0, 0)))
+        run = self._score_chamfer_fn
+        return self._aot.wrap("score_chamfer_lanes",
+                              jax.jit(jax.vmap(run, in_axes=(0, 0, 0))))
+
+    # ---- shared parameter-conversion programs (cached: per-call jax.jit
+    #      closures re-trace on every stage invocation — pure host tax)
+    @functools.cached_property
+    def _to6d(self):
+        return jax.jit(jax.vmap(lambda sp: {
+            "pose6d": rot.matrix_to_rotation_6d(sp.pose_body),
+            "betas": sp.betas,
+            "root6d": rot.matrix_to_rotation_6d(sp.root_orient),
+            "trans": sp.trans,
+        }))
+
+    @functools.cached_property
+    def _post_marker(self):
+        return jax.jit(jax.vmap(lambda p: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            rot.rotation_6d_to_matrix(p["root6d"]), p["trans"],
+        )))
+
+    @functools.cached_property
+    def _post_chamfer(self):
+        return jax.jit(jax.vmap(lambda p, r0: SmplParams(
+            rot.rotation_6d_to_matrix(p["pose6d"]), p["betas"],
+            self._chamfer_apply(p["z"], r0), p["trans"],
+        )))
+
+    @functools.cached_property
+    def _post_root(self):
+        return jax.jit(jax.vmap(lambda p, r0, op: SmplParams(
+            op, p["betas"], self._root_apply(p["z"], r0), p["trans"],
+        )))
 
     # ------------------------------------------------------------ selection
     @functools.cached_property
-    def score_chamfer(self):
+    def _score_chamfer_fn(self):
         model = self.model
 
-        @jax.jit
         def run(markers, marker_weights, params: SmplParams):
             """Final single-directional weighted chamfer used to pick the best
             yaw hypothesis (reference ``multimodal.py:576-599``)."""
@@ -803,9 +840,14 @@ class SolveStages:
         return run
 
     @functools.cached_property
+    def score_chamfer(self):
+        return self._aot.wrap("score_chamfer", jax.jit(self._score_chamfer_fn))
+
+    @functools.cached_property
     def score_chamfer_batched(self):
-        run = self.score_chamfer
-        return jax.jit(jax.vmap(run, in_axes=(None, None, 0)))
+        run = self._score_chamfer_fn
+        return self._aot.wrap("score_chamfer_batched",
+                              jax.jit(jax.vmap(run, in_axes=(None, None, 0))))
 
     def marker_labels_from_attachment(self, attachment: MarkerAttachment, num_frames: int) -> jnp.ndarray:
         """Part label per marker from its attachment vertex (reference
