@@ -14,9 +14,13 @@ stable on a single chip; see Benchmarks.md).  The reference solves the same
 sweep sequentially, one sequence and one hypothesis at a time
 (``test/test.py:50-147``).
 
-Accuracy gates the number: the run only counts if the batch's mean MPJPE
-against the generating parameters stays <= 25 mm (matched-accuracy speed,
-BASELINE.json north star; tightened from 40 mm per VERDICT r2 item 1).
+Accuracy gates the number (matched-accuracy speed, BASELINE.json north
+star): each layout sweep must pass BOTH its mean gate and its per-sequence
+MAX gate (VERDICT r3 item 3 — a mean-only gate hid a 29.1 mm sequence
+under a 24.8 mm mean).  The capture runs the random-vertex layout AND the
+named ``cmu_41`` capture layout through the same compiled programs, so the
+artifact reports the solver in both the layout-starved and the
+real-capture regime.
 
 Budget protocol (VERDICT r2 item 1): the warmup is COMPILE-ONLY — it runs
 the full pipeline on an identically-shaped batch but aborts every L-BFGS
@@ -63,16 +67,21 @@ N_MARKERS = 41
 # scale experiments)
 BATCH = int(os.environ.get("UUO_BENCH_BATCH", "4"))
 LANE_WIDTH = int(os.environ.get("UUO_BENCH_LANE_WIDTH", "16"))
-# UUO_BENCH_LAYOUT=cmu_41 anchors markers at a NAMED capture layout instead
-# of random vertices.  The random draw follows the mesh's torso-heavy vertex
-# density and leaves ankles/feet/wrists with ZERO markers (they are 18/8/15
-# of 6890 vertices), which dominates the headline MPJPE: the official
-# random-layout workload solves to 24.6 mm all-22 but 14.2 mm over the 16
-# instrumented joints (extremities 52 mm).  Real layouts instrument
-# extremities (LANK/LHEE/LTOE/LIWR...), so the layout variant reports the
-# solver's accuracy in the regime the reference's real datasets occupy.
-LAYOUT = os.environ.get("UUO_BENCH_LAYOUT", "")
-MPJPE_GATE_MM = 25.0
+# The official capture runs TWO timed sweeps through the SAME compiled
+# programs (named-layout columns are padded to the canonical M):
+#   * random — markers at uniform-random vertices.  The draw follows the
+#     mesh's torso-heavy vertex density and leaves ankles/feet/wrists with
+#     ZERO markers (18/8/15 of 6890 vertices), so extremity joints are
+#     unconstrained by data (52 mm there vs 14 mm body-16) — this sweep
+#     bounds the solver under layout-starved conditions.
+#   * cmu_41 — markers at the named CMU capture-layout vertices, the regime
+#     the reference's real datasets occupy (extremities instrumented).
+# Both report mean/median/max per-sequence MPJPE and gate on mean AND
+# per-sequence max (VERDICT r3 item 3: a mean-only gate hid a 29.1 mm
+# sequence under a 24.8 mm mean).
+LAYOUTS = [x for x in os.environ.get("UUO_BENCH_LAYOUTS", "random,cmu_41").split(",") if x]
+# {layout: (mean gate, per-sequence max gate)} in mm
+GATES_MM = {"random": (25.0, 35.0), "cmu_41": (12.0, 18.0)}
 GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
 PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []
 
@@ -137,7 +146,7 @@ def _load_batch(path):
     return gts, preps
 
 
-def make_batch(model, seed0, easy=False):
+def make_batch(model, seed0, easy=False, layout="random"):
     """Synthetic batch generation runs on the CPU backend: the generators
     are eager op-by-op code, and every tiny eager op costs a ~0.4 s XLA
     compile on the tunneled TPU backend (hundreds of them blew the round-2
@@ -147,7 +156,8 @@ def make_batch(model, seed0, easy=False):
     import jax
 
     key = (f"b{BATCH}_f{F_FRAMES}_m{N_MARKERS}_s{seed0}_"
-           f"{'easy' if easy else 'hard'}{'_' + LAYOUT if LAYOUT else ''}_"
+           f"{'easy' if easy else 'hard'}"
+           f"{'_' + layout if layout != 'random' else ''}_"
            f"{_datagen_fingerprint()}")
     path = os.path.join(DATA_CACHE_DIR, key + ".npz")
     if os.path.exists(path):
@@ -156,22 +166,22 @@ def make_batch(model, seed0, easy=False):
         except Exception:
             pass  # corrupt/partial cache entry: regenerate
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        gts, preps = _make_batch_inner(model, seed0, easy)
+        gts, preps = _make_batch_inner(model, seed0, easy, layout)
     _save_batch(path, gts, preps)
     return gts, preps
 
 
-def _make_batch_inner(model, seed0, easy):
+def _make_batch_inner(model, seed0, easy, layout):
     from uuo_mocap_tpu.data.img_smpl import ImgSmpl
     from uuo_mocap_tpu.data.markers import ArrayMarkers
     from uuo_mocap_tpu.data.synthetic import generate_markers, perturb_params, random_pose_sequence
     from uuo_mocap_tpu.pipeline.multimodal import prepare_sequence
 
     layout_vids = None
-    if LAYOUT:
+    if layout != "random":
         from uuo_mocap_tpu.data.marker_layout import resolve_layout_vertex_ids
 
-        layout_vids = resolve_layout_vertex_ids(LAYOUT, model)
+        layout_vids = resolve_layout_vertex_ids(layout, model)
 
     gts, preps = [], []
     # warmup (easy): ONE generated sequence tiled BATCH times — the warmup
@@ -313,6 +323,9 @@ def main():
         # at 12% fewer closure evals (12,451 vs 14,115).
         ai = [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_ITERS", "50,150").split(",")]
         kp = [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_KEEP", "2,1").split(",")]
+        if len(ai) != len(kp):
+            raise ValueError(f"UUO_BENCH_PRUNE_ITERS ({ai}) and UUO_BENCH_PRUNE_KEEP "
+                             f"({kp}) must be the same length")
         cfg["parallel"]["hypothesis_prune"] = {
             "enabled": True,
             "at_iters": ai[0] if len(ai) == 1 else ai,
@@ -329,6 +342,9 @@ def main():
     if os.environ.get("UUO_BENCH_PART_PRUNE", "1") == "1":
         pai = [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_ITERS", "15").split(",")]
         pkp = [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_KEEP", "2").split(",")]
+        if len(pai) != len(pkp):
+            raise ValueError(f"UUO_BENCH_PART_PRUNE_ITERS ({pai}) and UUO_BENCH_PART_"
+                             f"PRUNE_KEEP ({pkp}) must be the same length")
         cfg["parallel"]["part_prune"] = {
             "enabled": True,
             "at_iters": pai[0] if len(pai) == 1 else pai,
@@ -339,20 +355,21 @@ def main():
         solver.stages._chamfer_solver, solver.stages._marker_solver, solver.part_fitter._solver,
     )
 
-    # ---- generate BOTH batches before enabling the persistent cache: the
+    # ---- generate ALL batches before enabling the persistent cache: the
     # datagen's CPU-backend programs compile in ~2 s but take minutes when
     # the shared cache dir is active (mismatched XLA:CPU AOT entries trigger
     # a pathological load path); the TPU solver programs — the expensive
     # compiles the cache exists for — all build after this point
     t_g = time.time()
     gts_w, preps_w = make_batch(model, seed0=1000, easy=True)
-    gts, preps = make_batch(model, seed0=2000)
+    batches = {lay: make_batch(model, seed0=2000, layout=lay) for lay in LAYOUTS}
     gen_w_s = time.time() - t_g
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # ---- compile-only warmup: identical shapes, one device segment per
-    # stage (programs are the same as the timed run's — opts unchanged)
+    # stage (programs are the same as the timed run's — opts unchanged).
+    # With the AOT program cache warm (solver/aot.py) this is load-only.
     t_w = time.time()
     for s in stage_solvers:
         s.abort_after_segments = 1
@@ -362,59 +379,85 @@ def main():
     batch_mpjpe_mm(model, out_w["results"][:1], gts_w[:1])[0]  # warm the metric programs
     warmup_s = time.time() - t_w
 
-    # ---- ONE timed sweep (batch generated above, before the cache config)
-    t0 = time.time()
-    out = solver.solve_prepared(preps, print_options=PRINT_OPTS)
-    dt = time.time() - t0
-
-    total_frames = BATCH * F_FRAMES
-    fps = total_frames / dt
-    errs, errs_body, errs_ext = batch_mpjpe_mm(model, out["results"], gts)
-    err = float(np.mean(errs))
-    evals = int(out["lbfgs_evals"])
-    device_evals = sum(s.get("device_evals", 0) for s in out["eval_stats"].values())
-
-    vs_baseline = None
-    vs_gpu = None
+    # ---- one timed sweep per layout (same compiled programs: named-layout
+    #      columns are padded to the canonical M)
+    proxy = None
     if os.path.exists(PROXY_FILE):
         with open(PROXY_FILE) as f:
             proxy = json.load(f)
+
+    per_layout = {}
+    total_frames = 0
+    total_time = 0.0
+    total_evals = 0
+    all_gates_passed = True
+    for lay in LAYOUTS:
+        gts, preps = batches[lay]
+        t0 = time.time()
+        out = solver.solve_prepared(preps, print_options=PRINT_OPTS)
+        dt = time.time() - t0
+        frames = BATCH * F_FRAMES
+        errs, errs_body, errs_ext = batch_mpjpe_mm(model, out["results"], gts)
+        evals = int(out["lbfgs_evals"])
+        mean_gate, max_gate = GATES_MM.get(lay, (25.0, 35.0))
+        gate_ok = bool(float(np.mean(errs)) <= mean_gate and float(np.max(errs)) <= max_gate)
+        all_gates_passed = all_gates_passed and gate_ok
+        total_frames += frames
+        total_time += dt
+        total_evals += evals
+        per_layout[lay] = {
+            "frames_per_sec": round(frames / dt, 2),
+            "solve_time_s": round(dt, 1),
+            "mpjpe_mm_mean": round(float(np.mean(errs)), 1),
+            "mpjpe_mm_median": round(float(np.median(errs)), 1),
+            "mpjpe_mm_max": round(float(np.max(errs)), 1),
+            "mpjpe_mm_per_sequence": [round(e, 1) for e in errs],
+            "mpjpe_mm_body16_joints": round(float(np.mean(errs_body)), 1),
+            "mpjpe_mm_extremity6_joints": round(float(np.mean(errs_ext)), 1),
+            "gate_mm_mean_max": [mean_gate, max_gate],
+            "gate_passed": gate_ok,
+            "lbfgs_evals": evals,
+            "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
+            "stage_times_s": out.get("stage_times_s"),
+            "eval_stats": out.get("eval_stats"),
+        }
+
+    fps = total_frames / total_time
+    vs_baseline = None
+    vs_gpu = None
+    if proxy is not None:
         # reference proxy e2e time = (its sec per closure eval) x (the closure
         # evals this solve actually performed — the reference runs every
         # sequence/hypothesis/subtree lane sequentially, so lane evals sum)
-        proxy_time = proxy["sec_per_closure_eval"] * max(evals, 1)
-        vs_baseline = round(proxy_time / dt, 2)
+        proxy_time = proxy["sec_per_closure_eval"] * max(total_evals, 1)
+        vs_baseline = round(proxy_time / total_time, 2)
         vs_gpu = [round(vs_baseline / GPU_ADJUST[1], 2), round(vs_baseline / GPU_ADJUST[0], 2)]
 
+    mm_tag = "_".join(
+        f"{lay}{per_layout[lay]['mpjpe_mm_mean']:.1f}mm" for lay in LAYOUTS
+    )
     print(
         json.dumps(
             {
-                "metric": "e2e_batch%d_solve%s_frames_per_sec_450f_41m_mpjpe_%.1fmm"
-                          % (BATCH, "_" + LAYOUT if LAYOUT else "", err),
+                "metric": "e2e_batch%d_solve_frames_per_sec_450f_41m_%s" % (BATCH, mm_tag),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": vs_baseline,
                 "detail": {
                     "batch_sequences": BATCH,
+                    "layouts": LAYOUTS,
                     "lane_width": LANE_WIDTH,
-                    "solve_time_s": round(dt, 1),
+                    "solve_time_s": round(total_time, 1),
                     "warmup_s": round(warmup_s, 1),
                     "datagen_s": round(gen_w_s, 1),
                     "warmup_stage_times_s": out_w.get("stage_times_s"),
                     "frames_per_sec_per_sequence": round(fps / BATCH, 2),
-                    "mpjpe_gate_mm": MPJPE_GATE_MM,
-                    "accuracy_gate_passed": bool(err <= MPJPE_GATE_MM),
-                    "lbfgs_evals": evals,
-                    "device_evals": device_evals,
-                    "ms_per_eval": round(1e3 * dt / max(evals, 1), 2),
-                    "mpjpe_mm_per_sequence": [round(e, 1) for e in errs],
-                    "mpjpe_mm_body16_joints": round(float(np.mean(errs_body)), 1),
-                    "mpjpe_mm_extremity6_joints": round(float(np.mean(errs_ext)), 1),
-                    "marker_layout": LAYOUT or "random_vertices",
+                    "gate_policy": "per layout: mean <= gate[0] AND per-sequence max <= gate[1]",
+                    "accuracy_gate_passed": all_gates_passed,
+                    "lbfgs_evals": total_evals,
                     "vs_baseline_gpu_adjusted": vs_gpu,
                     "vs_baseline_note": "CPU-proxy denominator; GPU-adjusted range divides by 10-50x (BASELINE.md)",
-                    "stage_times_s": out.get("stage_times_s"),
-                    "eval_stats": out.get("eval_stats"),
+                    "per_layout": per_layout,
                 },
             }
         )
