@@ -27,6 +27,16 @@ def save_params(params: Any, root: str, name: str) -> str:
 
 
 def load_params(template: Any, root: str, name: str) -> Any:
+    """Restore into ``template``'s structure; leaves are cast to the
+    template's dtypes, so checkpoints stored downcast (e.g. the 7M-param
+    Pos2BC shipped as float16 to halve repo size) load as float32
+    transparently."""
     path = checkpoint_path(root, name)
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        restored = serialization.from_bytes(template, f.read())
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda t, s: jnp.asarray(s, getattr(t, "dtype", None)), template, restored
+    )

@@ -30,6 +30,16 @@ from uuo_mocap_tpu.models.pos_diff import PosDiff
 
 
 # --------------------------------------------------------------------- data
+@jax.jit
+def _lbs_markers(model, pose, betas, root, trans, vid):
+    """One compiled LBS over the whole [B, W] batch + per-element marker
+    gather (the eager per-sequence loop cost ~5 s/step on CPU — 25x the
+    optimizer step it feeds)."""
+    out = lbs_forward(model, pose, betas, root, trans)
+    pts = jax.vmap(lambda v, i: v[:, i])(out["vertices"], vid)  # [B, W, M, 3]
+    return pts, out["joints"][..., :22, :]
+
+
 def _segmentation_batch(model: BodyModel, batch: int, num_markers: int, seed: int):
     """Synthetic training batch: marker windows + part labels (+ joints).
 
@@ -39,22 +49,17 @@ def _segmentation_batch(model: BodyModel, batch: int, num_markers: int, seed: in
     """
     rng = np.random.RandomState(seed)
     vertex_labels = np.asarray(jnp.argmax(model.lbs_weights, axis=-1))
-    pts_list, lbl_list, jts_list = [], [], []
-    for b in range(batch):
-        gt = random_pose_sequence(WINDOW, seed=seed * 1000 + b, yaw=rng.uniform(0, 6.28))
-        F = WINDOW
-        out = lbs_forward(
-            model, gt.pose_body, jnp.broadcast_to(gt.betas, (F, 10)), gt.root_orient, gt.trans
-        )
-        vid = rng.choice(model.num_vertices, num_markers, replace=False)
-        pts_list.append(np.asarray(out["vertices"][:, vid]))
-        lbl_list.append(vertex_labels[vid])
-        jts_list.append(np.asarray(out["joints"][:, :22]))
-    return (
-        jnp.asarray(np.stack(pts_list)),  # [B, W, M, 3]
-        jnp.asarray(np.stack(lbl_list)),  # [B, M]
-        jnp.asarray(np.stack(jts_list)),  # [B, W, 22, 3]
-    )
+    F = WINDOW
+    gts = [random_pose_sequence(F, seed=seed * 1000 + b, yaw=rng.uniform(0, 6.28))
+           for b in range(batch)]
+    pose = jnp.stack([g.pose_body for g in gts])
+    betas = jnp.stack([jnp.broadcast_to(g.betas, (F, 10)) for g in gts])
+    root = jnp.stack([g.root_orient for g in gts])
+    trans = jnp.stack([g.trans for g in gts])
+    vid = np.stack([rng.choice(model.num_vertices, num_markers, replace=False)
+                    for _ in range(batch)])
+    pts, jts = _lbs_markers(model, pose, betas, root, trans, jnp.asarray(vid))
+    return pts, jnp.asarray(vertex_labels[vid]), jts
 
 
 def _surface_samples(model: BodyModel, n: int, seed: int):
