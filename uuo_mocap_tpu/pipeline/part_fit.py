@@ -18,6 +18,8 @@ Flow (cluster mode, the shipped default):
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
@@ -279,6 +281,23 @@ class PartFitter:
         lanes share one program; padding lanes duplicate real subtrees and
         are deduplicated by the per-sequence argmin.
         """
+        # per-phase wall breakdown (VERDICT r3 item 2: the stage wall was
+        # ~10x its eval cost and nobody knew where it went).  Attribution is
+        # only exact when UUO_PROFILE_PART_FIT=1 forces a device sync at
+        # each boundary; unsynced, async dispatch smears device time into
+        # whichever phase first blocks on the result.
+        self.last_phase_times: Dict[str, float] = {}
+        _prof = os.environ.get("UUO_PROFILE_PART_FIT") == "1"
+        _t = [time.time()]
+
+        def tick(label, sync=None):
+            if _prof and sync is not None:
+                jax.block_until_ready(sync)
+            now = time.time()
+            self.last_phase_times[label] = (
+                self.last_phase_times.get(label, 0.0) + now - _t[0])
+            _t[0] = now
+
         scfg = self.config["stages"]["part"]
         Q, F, M, _ = markers_b.shape
         if foot_contacts_b is None:
@@ -397,6 +416,7 @@ class PartFitter:
         S_cur = S_max
         evals_per_seq = np.zeros(Q, np.int64)
         scores_rows = np.full((Q, S_max), np.inf)  # best-known score per subtree
+        tick("setup", lane["markers"])
         if do_prune:
             done_iters = 0
             for at_iters, keep in rounds:
@@ -410,11 +430,13 @@ class PartFitter:
                 merge_stats(self._solver.last_run_stats)
                 done_iters = at_iters
                 evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
+                tick("descend_prune", p_opt["z"])
                 sc = np.asarray(self._score_lanes_any(
                     p_opt["z"], p_opt["betas"], p_opt["trans"], lane["vertex_mask"],
                     lane["markers"], lane["marker_weights"], lane["o_pose_body"],
                     lane["root_orient0"],
                 )).reshape(Q, S_cur)
+                tick("score_prune")
                 for q in range(Q):
                     scores_rows[q, sub_ids[q]] = sc[q]
                 local = np.stack([
@@ -426,11 +448,13 @@ class PartFitter:
                 params0 = {k: v[surv] for k, v in p_opt.items()}
                 lane = {k: v[surv] for k, v in lane.items()}
                 S_cur = keep
+                tick("survivor_gather", lane["markers"])
 
         p_opt, res = self._solver.run(params0, lane, {})
         merge_stats(self._solver.last_run_stats)
         self._solver.last_run_stats = agg_stats
         evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
+        tick("descend_final", p_opt["z"])
 
         scores_l = self._score_lanes_any(
             p_opt["z"], p_opt["betas"], p_opt["trans"], lane["vertex_mask"],
@@ -438,6 +462,7 @@ class PartFitter:
             lane["root_orient0"],
         )
         sc_final = np.asarray(scores_l).reshape(Q, S_cur)
+        tick("score_final")
         for q in range(Q):
             scores_rows[q, sub_ids[q]] = sc_final[q]
         scores = scores_rows  # [Q, S_max] — survivors carry final scores,
@@ -450,6 +475,7 @@ class PartFitter:
             markers_b, p_opt["z"][sel], p_opt["betas"][sel], p_opt["trans"][sel],
             o_pose_body_b, root_orient0_b,
         )
+        tick("relabel", labels_b)
 
         results = []
         for q in range(Q):
@@ -487,6 +513,7 @@ class PartFitter:
                 subtree_losses=jnp.asarray(row),
                 lbfgs_evals=int(evals_per_seq[q]),
             ))
+        tick("assemble")
         return results
 
     def __call__(
