@@ -783,6 +783,7 @@ class BatchedLbfgs:
                     f"[lbfgs] segment {_time.time() - t0:.1f}s  width {W}"
                     f"  live {int((~finished).sum())}/{L}"
                     f"  iters {iters.min()}-{iters.max()}"
+                    f"  evalsΔ {int(delta.min())}-{int(delta.max())}"
                     f"  seg-finished {int(fin_now.sum())}/{fin_now.size}", flush=True,
                 )
             evals_prev[active] = evals
