@@ -124,3 +124,55 @@ def test_package_fingerprint_keys_entries(tmp_path, monkeypatch):
     _make_solver(cache2).run(p0, lanes, shared)
     assert cache2.stats["hits"] == 0, "fingerprint change must miss every entry"
     assert cache2.stats["misses"] > 0
+
+
+def test_constants_hoisted_out_of_exported_blobs(tmp_path):
+    """Round-4: closure constants must NOT be baked into the serialized
+    module.  With baking, every stage program embedded the ~17 MB body
+    model, costing 309 s of warm-cache deserialize/load per bench process;
+    hoisted programs store constants once in a content-addressed side store
+    shared across programs (solver/aot.py:_load_or_export)."""
+    import os
+    import jax
+
+    big = jnp.asarray(RNG.randn(512, 1024).astype(np.float32))  # 2 MB const
+
+    def fun_with_const(p, lane, shared):
+        y = p["x"] @ big[: p["x"].shape[-1]]
+        return jnp.sum((y - lane["t"]) ** 2) + shared["bias"]
+
+    p0 = {"x": jnp.zeros((3, 512))}
+    lanes = {"t": jnp.asarray(RNG.randn(3, 1024).astype(np.float32))}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    plain = BatchedLbfgs(fun_with_const, LbfgsOptions(max_iter=20), segment_size=10)
+    pa, _ = plain.run(p0, lanes, shared)
+
+    cache1 = _enabled_cache(tmp_path)
+    s1 = BatchedLbfgs(fun_with_const, LbfgsOptions(max_iter=20), segment_size=10,
+                      aot=cache1, name="t")
+    pb, _ = s1.run(p0, lanes, shared)
+    assert cache1.stats["fallbacks"] == 0, aot_mod.FALLBACKS
+    np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pb["x"]))
+
+    aot_dir = tmp_path / "aot"
+    blobs = sorted(aot_dir.glob("*.jexp"))
+    metas = sorted(aot_dir.glob("*.jexp.consts"))
+    assert blobs and metas, "hoisted export must write module + const meta"
+    # the 2 MB constant must live in the side store, not the module
+    assert max(b.stat().st_size for b in blobs) < 512 * 1024, (
+        [(b.name, b.stat().st_size) for b in blobs])
+    store = list((aot_dir / "consts").glob("*.bin"))
+    assert any(f.stat().st_size >= 512 * 1024 * 4 for f in store)
+
+    # fresh process stand-in: loads consts from the store, same result
+    aot_mod._CONST_CACHE.clear()
+    cache2 = _enabled_cache(tmp_path)
+    s2 = BatchedLbfgs(fun_with_const, LbfgsOptions(max_iter=20), segment_size=10,
+                      aot=cache2, name="t")
+    pc, _ = s2.run(p0, lanes, shared)
+    assert cache2.stats["hits"] > 0 and cache2.stats["misses"] == 0
+    assert cache2.stats["fallbacks"] == 0, aot_mod.FALLBACKS
+    np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pc["x"]))
+    # the big tensor device_put exactly once per process (content-addressed)
+    assert len(aot_mod._CONST_CACHE) == len(store)

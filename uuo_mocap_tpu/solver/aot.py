@@ -13,6 +13,19 @@ entirely; the XLA compile of the deserialized module still goes through the
 persistent compilation cache, so a warm process pays only
 deserialize + cache-load per program.
 
+Constants are HOISTED out of the exported program (round-4 measurement:
+with constants baked, the warm-cache warmup still cost 309 s — every stage
+program embedded the body model's ~17 MB pose-corrective tensor, making
+each ``.jexp`` ~19 MB of MLIR to parse and each cached executable
+~70 MB to load).  ``_load_or_export`` traces the *unjitted* function
+(``jit_fn.__wrapped__``) with ``jax.make_jaxpr``, which lifts every closure
+constant to ``ClosedJaxpr.consts``; the exported program takes those
+constants as a leading argument, and their values live in a
+content-addressed side store (``<cache_dir>/consts/<sha>.bin``) that is
+read and ``device_put`` ONCE per unique tensor per process — the body
+model is shared by every stage program instead of being re-parsed per
+program.
+
 Keying: a program is only served when ALL of these match —
   * every argument's (shape, dtype, pytree structure);
   * the package source fingerprint (hash of every ``uuo_mocap_tpu`` .py
@@ -49,6 +62,55 @@ FALLBACKS: list = []
 _PKG_FP: Optional[str] = None
 _MODEL_FP: Dict[int, Tuple[Any, str]] = {}
 _LOCK = threading.Lock()
+
+# content-addressed constant store: sha -> committed (device) array.  One
+# entry per unique tensor PER PROCESS no matter how many programs share it
+# (the ~17 MB body-model tensors appear in every stage program).
+_CONST_CACHE: Dict[str, Any] = {}
+
+
+def _const_sha(arr: np.ndarray) -> str:
+    h = hashlib.sha256()
+    h.update(str(arr.dtype).encode())
+    h.update(str(arr.shape).encode())
+    h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:32]
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bfloat16 & friends register through ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _save_const(cache_dir: str, arr: np.ndarray) -> Dict[str, Any]:
+    sha = _const_sha(arr)
+    path = os.path.join(cache_dir, "consts", sha + ".bin")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(np.ascontiguousarray(arr).tobytes())
+        os.replace(tmp, path)
+    return {"sha": sha, "shape": list(arr.shape), "dtype": str(arr.dtype)}
+
+
+def _load_const(cache_dir: str, spec: Dict[str, Any]):
+    sha = spec["sha"]
+    hit = _CONST_CACHE.get(sha)
+    if hit is not None:
+        return hit
+    path = os.path.join(cache_dir, "consts", sha + ".bin")
+    with open(path, "rb") as f:
+        raw = f.read()
+    arr = np.frombuffer(raw, dtype=_np_dtype(spec["dtype"])).reshape(spec["shape"])
+    committed = jax.device_put(arr)
+    with _LOCK:
+        _CONST_CACHE.setdefault(sha, committed)
+    return _CONST_CACHE[sha]
 
 
 def aot_enabled() -> bool:
@@ -190,22 +252,67 @@ class AotCache:
         _register_serializations()
 
         path = os.path.join(self.cache_dir, key + ".jexp")
+        meta_path = path + ".consts"
         try:
             if os.path.exists(path):
+                consts = None
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        consts = [_load_const(self.cache_dir, s) for s in json.load(f)]
                 with open(path, "rb") as f:
                     exp = jexport.deserialize(bytearray(f.read()))
                 self.stats["hits"] += 1
-                return ("exp", jax.jit(exp.call))
+                call = jax.jit(exp.call)
+                if consts is None:
+                    return ("exp", call)
+                return ("exp", lambda *a: call(consts, *a))
         except Exception as e:  # corrupt / version-skewed entry: re-export
             FALLBACKS.append((name, f"deserialize: {e}"))
+            for p in (path, meta_path):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), args
+        )
+        # hoisted export: trace the UNJITTED function so closure constants
+        # land in ClosedJaxpr.consts instead of being baked into the module
+        # (jit wrapping keeps them inside the pjit eqn; see module docstring)
+        raw_fn = getattr(jit_fn, "__wrapped__", None)
+        if raw_fn is not None:
             try:
-                os.remove(path)
-            except OSError:
-                pass
+                closed, out_shape = jax.make_jaxpr(raw_fn, return_shape=True)(*specs)
+                out_tree = jax.tree_util.tree_structure(out_shape)
+                jaxpr = closed.jaxpr
+
+                def fn_c(consts, *a):
+                    flat, _ = jax.tree_util.tree_flatten(a)
+                    out_flat = jax.core.eval_jaxpr(jaxpr, list(consts), *flat)
+                    return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+                np_consts = [np.asarray(c) for c in closed.consts]
+                const_specs = [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in np_consts]
+                exp = jexport.export(jax.jit(fn_c))(const_specs, *specs)
+                blob = exp.serialize()
+                metas = [_save_const(self.cache_dir, c) for c in np_consts]
+                with _LOCK:
+                    os.makedirs(self.cache_dir, exist_ok=True)
+                    tmp = path + f".tmp.{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.replace(tmp, path)
+                    tmp = meta_path + f".tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(metas, f)
+                    os.replace(tmp, meta_path)
+                self.stats["misses"] += 1
+                consts = [_load_const(self.cache_dir, m) for m in metas]
+                call = jax.jit(exp.call)
+                return ("exp", lambda *a: call(consts, *a))
+            except Exception as e:
+                FALLBACKS.append((name, f"hoisted export: {e}"))
         try:
-            specs = jax.tree_util.tree_map(
-                lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), args
-            )
             exp = jexport.export(jit_fn)(*specs)
             blob = exp.serialize()
             with _LOCK:
