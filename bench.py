@@ -422,6 +422,18 @@ def main():
             "eval_stats": out.get("eval_stats"),
         }
 
+    # AOT program-cache health: hits mean serialized stage programs were
+    # loaded instead of re-traced; a nonzero fallback count means some
+    # program silently fell back to plain jit (warmup win lost) — surface it.
+    from uuo_mocap_tpu.solver import aot as aot_mod
+
+    aot_stats = {"hits": 0, "misses": 0, "fallbacks": 0}
+    for cache in (solver.stages._aot, solver.part_fitter._aot):
+        if cache is not None:
+            for k in aot_stats:
+                aot_stats[k] += cache.stats[k]
+    aot_stats["fallback_reasons"] = [f"{n}: {r[:120]}" for n, r in aot_mod.FALLBACKS[:4]]
+
     fps = total_frames / total_time
     vs_baseline = None
     vs_gpu = None
@@ -450,6 +462,7 @@ def main():
                     "solve_time_s": round(total_time, 1),
                     "warmup_s": round(warmup_s, 1),
                     "datagen_s": round(gen_w_s, 1),
+                    "aot_program_cache": aot_stats,
                     "warmup_stage_times_s": out_w.get("stage_times_s"),
                     "frames_per_sec_per_sequence": round(fps / BATCH, 2),
                     "gate_policy": "per layout: mean <= gate[0] AND per-sequence max <= gate[1]",
