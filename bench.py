@@ -365,19 +365,34 @@ def main():
     batches = {lay: make_batch(model, seed0=2000, layout=lay) for lay in LAYOUTS}
     gen_w_s = time.time() - t_g
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY compile: the warmup profile showed 309 sub-1s "tiny" program
+    # compiles (helper gathers/scatters, conversions) costing ~0.5 s EACH over
+    # the tunneled backend — 149 s/process that a 1.0 s threshold excluded
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     # ---- compile-only warmup: identical shapes, one device segment per
-    # stage (programs are the same as the timed run's — opts unchanged).
-    # With the AOT program cache warm (solver/aot.py) this is load-only.
+    # stage AND a 1-iteration cap inside each segment (programs are the same
+    # as the timed run's — the cap is a dynamic scalar, opts unchanged), so
+    # the warmup pays program load/compile cost, not descent cost.  With the
+    # AOT program cache warm (solver/aot.py) this is load-only.
     t_w = time.time()
     for s in stage_solvers:
         s.abort_after_segments = 1
+        s.warmup_iter_cap = 1
     out_w = solver.solve_prepared(preps_w, print_options=PRINT_OPTS)
     for s in stage_solvers:
         s.abort_after_segments = None
-    batch_mpjpe_mm(model, out_w["results"][:1], gts_w[:1])[0]  # warm the metric programs
+        s.warmup_iter_cap = None
+    t_metric = time.time()
+    # warm the metric programs WITHOUT the persistent cache dir: the metric
+    # compiles on the CPU backend, where loading this dir's mismatched
+    # XLA:CPU AOT entries is pathologically slow (same effect as datagen
+    # above) — a plain ~2 s compile is cheaper than the cache round-trip
+    jax.config.update("jax_compilation_cache_dir", None)
+    batch_mpjpe_mm(model, out_w["results"][:1], gts_w[:1])[0]
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     warmup_s = time.time() - t_w
+    warmup_metric_s = time.time() - t_metric
 
     # ---- one timed sweep per layout (same compiled programs: named-layout
     #      columns are padded to the canonical M)
@@ -461,6 +476,7 @@ def main():
                     "lane_width": LANE_WIDTH,
                     "solve_time_s": round(total_time, 1),
                     "warmup_s": round(warmup_s, 1),
+                    "warmup_metric_s": round(warmup_metric_s, 1),
                     "datagen_s": round(gen_w_s, 1),
                     "aot_program_cache": aot_stats,
                     "warmup_stage_times_s": out_w.get("stage_times_s"),

@@ -34,4 +34,8 @@ jax.config.update("jax_num_cpu_devices", 8)
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "xla_cpu")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
+# threshold 1.0 s: the ~0.5 s/compile RPC cost that justifies caching EVERY
+# compile is a property of the tunneled TPU backend (bench.py/tools set 0.0
+# there); CPU-local tiny compiles are ~ms, so caching them would only bloat
+# the dir (3.4 GB already) and add per-program load IO to every test run.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -176,3 +176,52 @@ def test_constants_hoisted_out_of_exported_blobs(tmp_path):
     np.testing.assert_array_equal(np.asarray(pa["x"]), np.asarray(pc["x"]))
     # the big tensor device_put exactly once per process (content-addressed)
     assert len(aot_mod._CONST_CACHE) == len(store)
+
+
+def test_seeded_model_consts_reused_without_reupload(tmp_path):
+    """Round-4: seed_model_consts maps the body model's committed tensors
+    into the constant store by their build-time shas, so (a) loading an AOT
+    program whose hoisted consts are model tensors reuses the ON-DEVICE
+    arrays instead of device_put-ing ~19 MB from disk (measured 339 s over
+    a slow tunnel phase in the bench warmup), and (b) the export path skips
+    the host readback of consts whose bytes are already in the store."""
+    import jax
+
+    from uuo_mocap_tpu.body.synthetic import synthetic_body_model
+
+    model = synthetic_body_model()
+    assert model.const_shas and len(model.const_shas) == 5
+
+    aot_mod._CONST_CACHE.clear()
+    aot_mod._SEEDED_SHA_BY_ID.clear()
+    assert aot_mod.seed_model_consts(model) == len(set(model.const_shas))
+    # identity: the store holds the model's own device tensors
+    assert aot_mod._CONST_CACHE[model.const_shas[0]] is model.v_template
+    assert aot_mod._seeded_sha(model.shapedirs) == model.const_shas[1]
+
+    posedirs = model.posedirs  # closure-captured model tensor -> hoisted const
+
+    def fwd(x):
+        return x @ posedirs  # [207] @ [207, 20670]
+
+    x = jnp.asarray(RNG.randn(posedirs.shape[0]).astype(np.float32))
+    cache1 = _enabled_cache(tmp_path)
+    wrapped1 = cache1.wrap("fwd", jax.jit(fwd))
+    out1 = np.asarray(wrapped1(x))
+    assert cache1.stats == {"hits": 0, "misses": 1, "fallbacks": 0}
+    # export wrote the const bytes (first-ever export still persists them)
+    sha = model.const_shas[2]
+    assert (tmp_path / "aot" / "consts" / f"{sha}.bin").exists()
+
+    # fresh-process stand-in: clear + re-seed, then LOAD the program.  The
+    # loaded const must be the seeded device tensor itself, not a re-upload.
+    aot_mod._CONST_CACHE.clear()
+    aot_mod._SEEDED_SHA_BY_ID.clear()
+    aot_mod.seed_model_consts(model)
+    cache2 = _enabled_cache(tmp_path)
+    wrapped2 = cache2.wrap("fwd", jax.jit(fwd))
+    out2 = np.asarray(wrapped2(x))
+    assert cache2.stats == {"hits": 1, "misses": 0, "fallbacks": 0}, aot_mod.FALLBACKS
+    assert aot_mod._CONST_CACHE[sha] is posedirs
+    np.testing.assert_array_equal(out1, out2)
+    np.testing.assert_allclose(out1, np.asarray(fwd(x)), rtol=1e-6)

@@ -234,3 +234,30 @@ def test_prepare_piecewise_objective_converges():
     out = np.asarray(p_opt["x"])
     np.testing.assert_allclose(out[0], np.array([2.0, 1.0]), atol=1e-4)   # nearest to (1.4, .9)
     np.testing.assert_allclose(out[1], np.array([5.0, -2.0]), atol=1e-4)  # nearest to (4, -1)
+
+
+def test_warmup_iter_cap_composes_with_iter_cap():
+    """warmup_iter_cap=1 (bench.py's compile-only warmup) stops every lane
+    after ~1 iteration even when the caller set its own higher iter_cap, and
+    clearing it restores the full descent — same compiled programs."""
+    L = 4
+    targets = jnp.asarray(RNG.randn(L, 6).astype(np.float32))
+    p0 = {"x": jnp.zeros((L, 6))}
+    lanes = {"target": targets}
+    shared = {"bias": jnp.asarray(0.0)}
+
+    solver = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10)
+    solver.iter_cap = 30
+    solver.warmup_iter_cap = 1
+    p_w, res_w = solver.run(p0, lanes, shared)
+    assert int(np.max(np.asarray(res_w.num_iters))) <= 1
+    assert not np.allclose(np.asarray(p_w["x"]), np.asarray(targets), atol=1e-3)
+
+    solver.warmup_iter_cap = None
+    p_f, res_f = solver.run(p0, lanes, shared)
+    assert int(np.max(np.asarray(res_f.num_iters))) > 1
+
+    ref = BatchedLbfgs(quad_fun, LbfgsOptions(max_iter=60), segment_size=10)
+    ref.iter_cap = 30
+    p_r, _ = ref.run(p0, lanes, shared)
+    np.testing.assert_allclose(np.asarray(p_f["x"]), np.asarray(p_r["x"]), atol=1e-6)

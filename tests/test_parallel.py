@@ -48,6 +48,10 @@ def test_sharded_matches_single_device(body):
     np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=1e-4)
 
 
+@pytest.mark.slow  # the realistic-shape dryrun solves the staged pipeline
+# TWICE (model=2 vs model=1 parity) at V=6890 on 8 virtual devices — >10 min
+# alone on the 1-vCPU host.  The driver runs dryrun_multichip independently
+# every round (MULTICHIP artifact), so fast-tier coverage is not lost.
 def test_graft_entry_contract():
     """entry() is jittable; dryrun_multichip exercises the full sharded step."""
     import importlib.util

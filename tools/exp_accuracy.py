@@ -54,7 +54,10 @@ def main():
     gts, preps = bench.make_batch(model, seed0=int(os.environ.get("UUO_EXP_SEED0", "2000")))
     os.makedirs(bench.CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", bench.CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY compile: the warmup profile showed 309 sub-1s "tiny" program
+    # compiles (helper gathers/scatters, conversions) costing ~0.5 s EACH over
+    # the tunneled backend — 149 s/process that a 1.0 s threshold excluded
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     t0 = time.time()
     out = solver.solve_prepared(preps, save_stages=True,

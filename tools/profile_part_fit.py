@@ -57,7 +57,10 @@ def main():
     gts_w, preps_w = bench.make_batch(model, seed0=1000, easy=True)
     gts, preps = bench.make_batch(model, seed0=2000)
     jax.config.update("jax_compilation_cache_dir", bench.CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY compile: the warmup profile showed 309 sub-1s "tiny" program
+    # compiles (helper gathers/scatters, conversions) costing ~0.5 s EACH over
+    # the tunneled backend — 149 s/process that a 1.0 s threshold excluded
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     # compile-only warmup
     t_w = time.time()

@@ -29,7 +29,10 @@ solver = MultiSequenceSolver(model, cfg)
 
 gts, preps = bench.make_batch(model, seed0=1000, easy=True)
 jax.config.update("jax_compilation_cache_dir", bench.CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# cache EVERY compile: the warmup profile showed 309 sub-1s "tiny" program
+# compiles (helper gathers/scatters, conversions) costing ~0.5 s EACH over
+# the tunneled backend — 149 s/process that a 1.0 s threshold excluded
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 for s in (solver.stages._chamfer_solver, solver.stages._marker_solver):
     s.abort_after_segments = 1

@@ -17,7 +17,8 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
-from typing import Any, Dict, Tuple
+import hashlib
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,17 +94,32 @@ class BodyModel:
     faces: np.ndarray  # [Faces, 3] int32 (static aux data)
     parents: np.ndarray = dataclasses.field(default_factory=lambda: PARENTS)
     gender: str = "neutral"
+    # content hash computed at BUILD time from the host-side numpy arrays.
+    # The AOT program cache keys on model contents (solver/aot.py); without
+    # this, fingerprinting a device-committed model reads ~19 MB back from
+    # the TPU over the tunnel — measured at 280 s of pure readback in
+    # MultiSequenceSolver construction.  None (e.g. ad-hoc test models)
+    # falls back to hashing the tensor values.
+    content_fp: Optional[str] = None
+    # per-tensor content shas aligned with tree_flatten's children order,
+    # computed at build time alongside content_fp.  solver/aot.py seeds its
+    # hoisted-constant store with (sha -> committed device tensor) so loaded
+    # AOT programs reuse the on-device model instead of re-uploading ~19 MB
+    # over the tunnel (measured 339 s in a slow tunnel phase).
+    const_shas: Optional[Tuple[str, ...]] = None
 
     def tree_flatten(self):
         children = (self.v_template, self.shapedirs, self.posedirs, self.j_regressor, self.lbs_weights)
-        aux = (_StaticArray(self.faces), _StaticArray(self.parents), self.gender)
+        aux = (_StaticArray(self.faces), _StaticArray(self.parents), self.gender,
+               self.content_fp, self.const_shas)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         v_template, shapedirs, posedirs, j_regressor, lbs_weights = children
-        faces, parents, gender = aux
-        return cls(v_template, shapedirs, posedirs, j_regressor, lbs_weights, faces.array, parents.array, gender)
+        faces, parents, gender, content_fp, const_shas = aux
+        return cls(v_template, shapedirs, posedirs, j_regressor, lbs_weights,
+                   faces.array, parents.array, gender, content_fp, const_shas)
 
     @property
     def num_vertices(self) -> int:
@@ -133,6 +149,28 @@ class _ChumpyUnpickler(pickle.Unpickler):
 
             return scipy.sparse.csc_matrix
         return super().find_class(module, name)
+
+
+def host_model_fingerprint(*arrays: np.ndarray) -> str:
+    """Content hash of host-side model arrays (shape+dtype+bytes), computed
+    BEFORE the tensors are committed to a device — the cheap counterpart of
+    ``solver.aot.model_fingerprint``'s value hash."""
+    h = hashlib.sha256()
+    for arr in arrays:
+        a = np.asarray(arr)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:16]
+
+
+def host_const_shas(*arrays: np.ndarray) -> Tuple[str, ...]:
+    """Per-tensor content shas (solver/aot.py's hoisted-constant keying),
+    computed from the host-side arrays at build time in tree_flatten child
+    order; see BodyModel.const_shas."""
+    from uuo_mocap_tpu.solver.aot import const_sha
+
+    return tuple(const_sha(np.asarray(a)) for a in arrays)
 
 
 def _to_dense(x: Any) -> np.ndarray:
@@ -176,6 +214,7 @@ def load_body_model(path: str, gender: str = "neutral", dtype=jnp.float32) -> Bo
     else:
         parents = PARENTS
 
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
     return BodyModel(
         v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
@@ -185,6 +224,16 @@ def load_body_model(path: str, gender: str = "neutral", dtype=jnp.float32) -> Bo
         faces=faces,
         parents=parents,
         gender=gender,
+        content_fp=host_model_fingerprint(
+            v_template.astype(np_dtype), shapedirs.astype(np_dtype),
+            posedirs.astype(np_dtype), j_regressor.astype(np_dtype),
+            lbs_weights.astype(np_dtype),
+        ),
+        const_shas=host_const_shas(
+            v_template.astype(np_dtype), shapedirs.astype(np_dtype),
+            posedirs.astype(np_dtype), j_regressor.astype(np_dtype),
+            lbs_weights.astype(np_dtype),
+        ),
     )
 
 

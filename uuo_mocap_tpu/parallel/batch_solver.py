@@ -132,8 +132,13 @@ class MultiSequenceSolver:
             self.part_fitter._solver.pad_width = self._pad_width
         self._reproj = None  # lazily-built ReprojectionStage
         # jitted prior forward — the eager op-by-op LBS costs hundreds of
-        # tiny per-op XLA compiles on the tunneled TPU backend
-        self._jit_forward = jax.jit(lambda p: _forward(self.model, p))
+        # tiny per-op XLA compiles on the tunneled TPU backend.  AOT-wrapped:
+        # the [Q*F]-frame dense forward is the largest NON-stage program of a
+        # solve, and its per-process trace+lower showed up as unattributed
+        # warmup wall (the stage programs were already cached)
+        self._jit_forward = self.stages._aot.wrap(
+            "model_forward", jax.jit(lambda p: _forward(self.model, p))
+        )
         if mesh is not None:
             resharder = make_lane_resharder(mesh)
             for solver in (
@@ -315,15 +320,16 @@ class MultiSequenceSolver:
             o_root_b.reshape(Q * F, 1, 3, 3),
             jnp.zeros((Q * F, 3)),
         )
-        mean_vertices = self._jit_forward(zero_params)["vertices"].reshape(Q, F, -1, 3)
-        # median over REAL frames only (bucket-padding zeros distort volumes)
-        aabb_ratios = np.asarray([
-            float(jnp.median(
-                get_aabb_volume(get_aabb(markers_b[q, : preps[q].F_real]))
-                / get_aabb_volume(get_aabb(mean_vertices[q, : preps[q].F_real]))
-            ))
-            for q in range(Q)
-        ])
+        with timed("aabb"):
+            mean_vertices = self._jit_forward(zero_params)["vertices"].reshape(Q, F, -1, 3)
+            # median over REAL frames only (bucket-padding zeros distort volumes)
+            aabb_ratios = np.asarray([
+                float(jnp.median(
+                    get_aabb_volume(get_aabb(markers_b[q, : preps[q].F_real]))
+                    / get_aabb_volume(get_aabb(mean_vertices[q, : preps[q].F_real]))
+                ))
+                for q in range(Q)
+            ])
 
         # ---- camera-aware rotational alignment BEFORE the part fit
         #      (multimodal.py:253-335): lanes = sequence x angle
@@ -615,6 +621,7 @@ class MultiSequenceSolver:
                            if cfg["stages"]["marker"].get("use_sdf") else stages._marker_solver)
 
         # ---- per-sequence output assembly (multimodal.py:679-710)
+        t_asm = time.time()
         results = []
         trans_np = np.asarray(params_q.trans)
         root_np = np.asarray(rot.normalize_rotation(params_q.root_orient))
@@ -655,6 +662,7 @@ class MultiSequenceSolver:
                 out["stages"] = stage_dicts
             results.append(out)
 
+        stage_times["assemble"] = stage_times.get("assemble", 0.0) + time.time() - t_asm
         dt = time.time() - t_start
         return {
             "results": results,

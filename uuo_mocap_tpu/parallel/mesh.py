@@ -63,6 +63,8 @@ def _shard_model_by_vertex(model: BodyModel, mesh: Mesh) -> BodyModel:
         faces=model.faces,
         parents=model.parents,
         gender=model.gender,
+        content_fp=model.content_fp,  # placement-only change, same contents
+        const_shas=model.const_shas,
     )
 
 

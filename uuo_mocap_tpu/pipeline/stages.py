@@ -220,10 +220,14 @@ class SolveStages:
         # the stage programs (solver/aot.py; round-3 bench: 824 s warmup for
         # a 53.5 s solve).  Config+model fingerprints key the entries (both
         # are baked into the programs as constants).
-        from uuo_mocap_tpu.solver.aot import AotCache, config_fingerprint, model_fingerprint
+        from uuo_mocap_tpu.solver.aot import (
+            AotCache, config_fingerprint, model_fingerprint, seed_model_consts)
 
         self._aot = AotCache(
             extra=config_fingerprint(config) + ":" + model_fingerprint(model))
+        # let loaded AOT programs reuse the on-device model tensors instead
+        # of re-uploading ~19 MB of hoisted constants over the tunnel
+        seed_model_consts(model)
 
     # ------------------------------------------------------------------ root
     @functools.cached_property

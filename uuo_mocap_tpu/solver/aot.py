@@ -55,6 +55,7 @@ import numpy as np
 
 _ENV_TOGGLE = "UUO_AOT"  # "0" disables; default on
 _ENV_DIR = "UUO_AOT_DIR"
+_ENV_PROFILE = "UUO_AOT_PROFILE"  # "1": print per-program load/compile walls
 
 # diagnostics: list of (name, reason) for every fallback taken this process
 FALLBACKS: list = []
@@ -67,6 +68,20 @@ _LOCK = threading.Lock()
 # entry per unique tensor PER PROCESS no matter how many programs share it
 # (the ~17 MB body-model tensors appear in every stage program).
 _CONST_CACHE: Dict[str, Any] = {}
+# reverse map for SEEDED device tensors: id(array) -> (array, sha).  Lets
+# the export path recognize a hoisted const as an already-known model tensor
+# WITHOUT materializing it on the host (np.asarray of a device const is a
+# ~19 MB tunnel readback, 77-280 s depending on tunnel state).  The strong
+# array reference pins the id against reuse-after-GC; lookups still verify
+# identity before trusting the sha.
+_SEEDED_SHA_BY_ID: Dict[int, Tuple[Any, str]] = {}
+
+
+def _seeded_sha(arr) -> Optional[str]:
+    ent = _SEEDED_SHA_BY_ID.get(id(arr))
+    if ent is not None and ent[0] is arr:
+        return ent[1]
+    return None
 
 
 def _const_sha(arr: np.ndarray) -> str:
@@ -75,6 +90,37 @@ def _const_sha(arr: np.ndarray) -> str:
     h.update(str(arr.shape).encode())
     h.update(np.ascontiguousarray(arr).tobytes())
     return h.hexdigest()[:32]
+
+
+const_sha = _const_sha  # public alias: body/model.py stamps per-tensor shas
+
+
+def seed_model_consts(model) -> int:
+    """Pre-seed the constant store with a body model's already-committed
+    device tensors, keyed by their build-time content shas.
+
+    Without this, the FIRST AOT program loaded in a process pays
+    ``_load_const``'s disk-read + ``device_put`` for every hoisted model
+    tensor (~19 MB) — measured at 339 s inside the bench warmup when the
+    tunneled TPU link was in a slow phase (10 s in a fast phase; the
+    variance alone disqualifies it from the capture path).  The very same
+    tensors are already resident on the device as ``model``'s leaves, so
+    programs can take them as arguments directly.  Returns the number of
+    entries seeded."""
+    shas = getattr(model, "const_shas", None)
+    if not shas:
+        return 0
+    children, _ = model.tree_flatten()
+    seeded = 0
+    with _LOCK:
+        for sha, arr in zip(shas, children):
+            if not sha:
+                continue
+            _SEEDED_SHA_BY_ID[id(arr)] = (arr, sha)
+            if sha not in _CONST_CACHE:
+                _CONST_CACHE[sha] = arr
+                seeded += 1
+    return seeded
 
 
 def _np_dtype(name: str) -> np.dtype:
@@ -99,18 +145,45 @@ def _save_const(cache_dir: str, arr: np.ndarray) -> Dict[str, Any]:
 
 
 def _load_const(cache_dir: str, spec: Dict[str, Any]):
-    sha = spec["sha"]
-    hit = _CONST_CACHE.get(sha)
-    if hit is not None:
-        return hit
-    path = os.path.join(cache_dir, "consts", sha + ".bin")
-    with open(path, "rb") as f:
-        raw = f.read()
-    arr = np.frombuffer(raw, dtype=_np_dtype(spec["dtype"])).reshape(spec["shape"])
-    committed = jax.device_put(arr)
-    with _LOCK:
-        _CONST_CACHE.setdefault(sha, committed)
-    return _CONST_CACHE[sha]
+    return _load_consts(cache_dir, [spec])[0]
+
+
+def _load_consts(cache_dir: str, specs) -> list:
+    """Load a program's const list, committing ALL store misses in ONE
+    ``jax.device_put`` call.  Per-const ``device_put`` is one RPC each over
+    the tunneled TPU backend, and a slow tunnel phase turns the ~40 small
+    derived consts of a stage program into minutes of serialized round-trips
+    (observed: 297 s and 678 s loading ``model_forward``'s 42 consts vs
+    0.26 s in a fast phase — same code, same bytes).  One batched call
+    bounds the critical path at a single round-trip regardless of const
+    count; the big model tensors are normally pre-seeded device-resident
+    (``seed_model_consts``) and skip the transfer entirely."""
+    out: list = [None] * len(specs)
+    miss_idx: list = []
+    miss_arrs: list = []
+    pending: Dict[str, int] = {}  # sha -> first miss position in miss_arrs
+    for i, spec in enumerate(specs):
+        sha = spec["sha"]
+        hit = _CONST_CACHE.get(sha)
+        if hit is not None:
+            out[i] = hit
+            continue
+        if sha in pending:  # duplicate sha within one program: upload once
+            miss_idx.append((i, pending[sha]))
+            continue
+        path = os.path.join(cache_dir, "consts", sha + ".bin")
+        with open(path, "rb") as f:
+            raw = f.read()
+        arr = np.frombuffer(raw, dtype=_np_dtype(spec["dtype"])).reshape(spec["shape"])
+        pending[sha] = len(miss_arrs)
+        miss_idx.append((i, len(miss_arrs)))
+        miss_arrs.append(arr)
+    if miss_arrs:
+        committed = jax.device_put(miss_arrs)  # one transfer for all misses
+        with _LOCK:
+            for i, j in miss_idx:
+                out[i] = _CONST_CACHE.setdefault(specs[i]["sha"], committed[j])
+    return out
 
 
 def aot_enabled() -> bool:
@@ -155,7 +228,16 @@ def config_fingerprint(config: Dict[str, Any]) -> str:
 
 def model_fingerprint(model) -> str:
     """Hash of the body model's tensor contents (they are baked into the
-    exported programs as constants).  Memoized per model identity."""
+    exported programs as constants).  Memoized per model identity.
+
+    Prefers the model's build-time ``content_fp`` (hashed from the host-side
+    numpy arrays, ``body/model.py``): hashing the VALUES of a
+    device-committed model reads ~19 MB back from the TPU, which costs
+    minutes over the tunneled backend — measured 280 s inside
+    MultiSequenceSolver construction before this fast path existed."""
+    fp = getattr(model, "content_fp", None)
+    if fp:
+        return f"bfp:{fp}"
     hit = _MODEL_FP.get(id(model))
     if hit is not None and hit[0] is model:
         return hit[1]
@@ -240,7 +322,22 @@ class AotCache:
             key = cache._key(name, args)
             hit = loaded.get(key)
             if hit is None:
+                import time as _time
+
+                t0 = _time.time()
                 hit = cache._load_or_export(name, key, jit_fn, args)
+                t1 = _time.time()
+                if os.environ.get(_ENV_PROFILE) == "1":
+                    out = hit[1](*args)
+                    jax.block_until_ready(out)
+                    t2 = _time.time()
+                    print(
+                        f"[aot] {name} {key[:8]} {hit[0]}: load {t1 - t0:.2f}s"
+                        f" first-call {t2 - t1:.2f}s",
+                        flush=True,
+                    )
+                    loaded[key] = hit
+                    return out
                 loaded[key] = hit
             return hit[1](*args)
 
@@ -258,7 +355,7 @@ class AotCache:
                 consts = None
                 if os.path.exists(meta_path):
                     with open(meta_path) as f:
-                        consts = [_load_const(self.cache_dir, s) for s in json.load(f)]
+                        consts = _load_consts(self.cache_dir, json.load(f))
                 with open(path, "rb") as f:
                     exp = jexport.deserialize(bytearray(f.read()))
                 self.stats["hits"] += 1
@@ -291,11 +388,25 @@ class AotCache:
                     out_flat = jax.core.eval_jaxpr(jaxpr, list(consts), *flat)
                     return jax.tree_util.tree_unflatten(out_tree, out_flat)
 
-                np_consts = [np.asarray(c) for c in closed.consts]
-                const_specs = [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in np_consts]
+                # materialize a const on the host ONLY when its bytes are
+                # not already in the content store: np.asarray of a device
+                # const is a ~19 MB tunnel readback for the body-model
+                # tensors (77-280 s depending on tunnel state); seeded
+                # model tensors carry their sha (seed_model_consts)
+                metas = []
+                const_specs = []
+                for c in closed.consts:
+                    const_specs.append(
+                        jax.ShapeDtypeStruct(np.shape(c), np.result_type(c)))
+                    sha = _seeded_sha(c)
+                    if sha is not None and os.path.exists(
+                            os.path.join(self.cache_dir, "consts", sha + ".bin")):
+                        metas.append({"sha": sha, "shape": list(np.shape(c)),
+                                      "dtype": str(np.result_type(c))})
+                    else:
+                        metas.append(_save_const(self.cache_dir, np.asarray(c)))
                 exp = jexport.export(jax.jit(fn_c))(const_specs, *specs)
                 blob = exp.serialize()
-                metas = [_save_const(self.cache_dir, c) for c in np_consts]
                 with _LOCK:
                     os.makedirs(self.cache_dir, exist_ok=True)
                     tmp = path + f".tmp.{os.getpid()}"
@@ -307,7 +418,7 @@ class AotCache:
                         json.dump(metas, f)
                     os.replace(tmp, meta_path)
                 self.stats["misses"] += 1
-                consts = [_load_const(self.cache_dir, m) for m in metas]
+                consts = _load_consts(self.cache_dir, metas)
                 call = jax.jit(exp.call)
                 return ("exp", lambda *a: call(consts, *a))
             except Exception as e:

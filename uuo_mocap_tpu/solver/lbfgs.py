@@ -543,6 +543,13 @@ class BatchedLbfgs:
         # pruning's partial-descent phases (parallel/batch_solver.py,
         # pipeline/part_fit.py).  Zero extra traces/compiles vs uncapped.
         self.iter_cap = None
+        # warmup override: min-composed with iter_cap/max_iter at every
+        # run(), INCLUDING runs whose caller sets its own iter_cap (the
+        # prune cascades).  bench.py's compile-only warmup sets this to 1 so
+        # every stage program is loaded/compiled and dispatched once but
+        # executes ~1 iteration per lane instead of a full descent — the
+        # warmup pays program-load cost, not solve cost.
+        self.warmup_iter_cap = None
         # optional pytree placer (e.g. NamedSharding over a mesh 'data' axis)
         # applied to the optimizer state + lane args at init and after every
         # refill, so lanes stay sharded across devices
@@ -718,6 +725,8 @@ class BatchedLbfgs:
 
         cap = self.opts.max_iter if self.iter_cap is None else min(
             self.opts.max_iter, int(self.iter_cap))
+        if self.warmup_iter_cap is not None:
+            cap = min(cap, int(self.warmup_iter_cap))
         cap_dev = jnp.asarray(cap, jnp.int32)
 
         def pick_active():
