@@ -268,6 +268,86 @@ def _batch_mpjpe_inner(model, results, gts):
     return errs, errs_body, errs_ext
 
 
+# ---- stall/termination resilience: the tunneled backend can stall for
+# 10-20 minutes MID-RUN and then recover (observed 2026-08-19: a 17-minute
+# hang on the first post-init RPC, after which the capture completed
+# normally).  The driver bounds the capture with a timeout; a capture
+# killed while hung would leave NO artifact.  Two guards, both emitting a
+# partial (or explicit-failure) record as the one JSON line:
+#   * a stall-watchdog THREAD — os._exit works from a thread even while
+#     the main thread is blocked inside a C RPC call, where a SIGTERM
+#     handler could never run.  The threshold is deliberately generous
+#     (25 min of NO phase progress): the observed stalls recover in
+#     10-20 min, and aborting a run that would finish is worse than
+#     waiting.
+#   * a SIGTERM handler — the driver's `timeout` sends SIGTERM first; if
+#     the main thread is interruptible we turn the kill into a partial
+#     artifact instead of silence.
+_PARTIAL = {
+    "phase": "startup", "beat": time.time(), "per_layout": {},
+    "frames": 0, "time": 0.0, "done": False,
+}
+
+
+def _beat(phase: str):
+    _PARTIAL["phase"] = phase
+    _PARTIAL["beat"] = time.time()
+
+
+def _emit_partial(reason: str):
+    if _PARTIAL["done"]:
+        return
+    _PARTIAL["done"] = True
+    if _PARTIAL["per_layout"] and _PARTIAL["time"] > 0:
+        fps = _PARTIAL["frames"] / _PARTIAL["time"]
+        rec = {
+            "metric": "e2e_solve_frames_per_sec_PARTIAL_capture",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "detail": {
+                "partial": True,
+                "reason": reason,
+                "phase_at_stop": _PARTIAL["phase"],
+                "per_layout": _PARTIAL["per_layout"],
+            },
+        }
+    else:
+        rec = {
+            "metric": "tpu_stalled_no_measurement",
+            "value": 0.0,
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "detail": {"reason": reason, "phase_at_stop": _PARTIAL["phase"]},
+        }
+    print(json.dumps(rec), flush=True)
+
+
+def _install_stall_guards(stall_s: float = 1500.0):
+    import signal
+    import threading
+
+    def watch():
+        while not _PARTIAL["done"]:
+            time.sleep(15.0)
+            if not _PARTIAL["done"] and time.time() - _PARTIAL["beat"] > stall_s:
+                _emit_partial(
+                    f"no phase progress for {stall_s:.0f}s (tunnel stall) "
+                    f"during '{_PARTIAL['phase']}'")
+                os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+    def on_term(signum, frame):
+        _emit_partial("SIGTERM (driver timeout)")
+        os._exit(2)
+
+    try:
+        signal.signal(signal.SIGTERM, on_term)
+    except (ValueError, OSError):  # non-main thread / unsupported: skip
+        pass
+
+
 def _tpu_watchdog(timeout_s: float = 180.0):
     """The axon TPU plugin HANGS (not errors) when its tunnel relay is dead
     — observed 2026-08-17 after a width-32 worker crash killed the relay for
@@ -299,7 +379,9 @@ def _tpu_watchdog(timeout_s: float = 180.0):
 
 def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
+    _install_stall_guards()
     _tpu_watchdog()
+    _beat("backend_init")
     import jax
 
     from uuo_mocap_tpu.body.synthetic import synthetic_body_model
@@ -361,6 +443,7 @@ def main():
     # a pathological load path); the TPU solver programs — the expensive
     # compiles the cache exists for — all build after this point
     t_g = time.time()
+    _beat("datagen")
     gts_w, preps_w = make_batch(model, seed0=1000, easy=True)
     batches = {lay: make_batch(model, seed0=2000, layout=lay) for lay in LAYOUTS}
     gen_w_s = time.time() - t_g
@@ -376,6 +459,7 @@ def main():
     # the warmup pays program load/compile cost, not descent cost.  With the
     # AOT program cache warm (solver/aot.py) this is load-only.
     t_w = time.time()
+    _beat("warmup")
     for s in stage_solvers:
         s.abort_after_segments = 1
         s.warmup_iter_cap = 1
@@ -408,9 +492,11 @@ def main():
     all_gates_passed = True
     for lay in LAYOUTS:
         gts, preps = batches[lay]
+        _beat(f"sweep:{lay}")
         t0 = time.time()
         out = solver.solve_prepared(preps, print_options=PRINT_OPTS)
         dt = time.time() - t0
+        _beat(f"metrics:{lay}")
         frames = BATCH * F_FRAMES
         errs, errs_body, errs_ext = batch_mpjpe_mm(model, out["results"], gts)
         evals = int(out["lbfgs_evals"])
@@ -436,6 +522,10 @@ def main():
             "stage_times_s": out.get("stage_times_s"),
             "eval_stats": out.get("eval_stats"),
         }
+        # completed layouts survive a later stall/kill as a partial artifact
+        _PARTIAL["per_layout"][lay] = per_layout[lay]
+        _PARTIAL["frames"] += frames
+        _PARTIAL["time"] += dt
 
     # AOT program-cache health: hits mean serialized stage programs were
     # loaded instead of re-traced; a nonzero fallback count means some
@@ -463,6 +553,7 @@ def main():
     mm_tag = "_".join(
         f"{lay}{per_layout[lay]['mpjpe_mm_mean']:.1f}mm" for lay in LAYOUTS
     )
+    _PARTIAL["done"] = True  # full artifact follows; suppress the guards
     print(
         json.dumps(
             {
