@@ -59,11 +59,17 @@ def _scan_frame_chunks(step_fn, arrays, num_frames: int, chunk: int):
     return out
 
 
-def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray, precision=_P) -> jnp.ndarray:
+def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray, precision=_P,
+                            compute_dtype=None) -> jnp.ndarray:
     """Pairwise squared distances [..., M, 3] x [..., V, 3] -> [..., M, V].
 
     Uses the |x|^2 - 2xy + |y|^2 expansion: one [M,3]x[3,V] contraction that
     XLA fuses with the rank-1 terms; clamped at 0 against cancellation.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) quantizes AFTER the f32
+    centering — centered coordinates span ~1 m where bf16 resolves ~4 mm,
+    vs ~3 cm at a multi-meter world offset.  Only rank-only callers should
+    pass it (the returned distances carry bf16 noise ~1e-3 m^2).
     """
     # Center both clouds about the y centroid: the expansion's cancellation
     # error scales with |x||y|, so removing the common offset keeps the f32
@@ -71,6 +77,9 @@ def squared_distance_matrix(x: jnp.ndarray, y: jnp.ndarray, precision=_P) -> jnp
     c = jnp.mean(y, axis=-2, keepdims=True)
     x = x - c
     y = y - c
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        y = y.astype(compute_dtype)
     x2 = jnp.sum(x * x, axis=-1)[..., :, None]  # [..., M, 1]
     y2 = jnp.sum(y * y, axis=-1)[..., None, :]  # [..., 1, V]
     xy = jnp.einsum("...md,...vd->...mv", x, y, precision=precision)

@@ -108,6 +108,29 @@ _RANK_FRAME_CHUNK = 64  # frames per argmin step — bounds the [C, M, V] tile
 # ~8.4 ms of the 15 ms sparse closure, the single largest share.
 _RANK_PALLAS = os.environ.get("UUO_RANK_PALLAS", "0") == "1"
 
+# Ranking-pass precision (opt-in, UUO_RANK_PRECISION=highest|default|bf16).
+# The ranking feeds a stop-gradient argmin and the loss value/gradient are
+# computed exactly in f32 at the selected vertex (`_sparse_chamfer_at`), so
+# a misrank costs the distance gap between the two candidate vertices — not
+# numerical error in the objective.  MEASURED rank agreement vs HIGHEST on
+# realistic synthetic geometry (F=64, M=41, markers ~1 cm off-surface):
+#   * "bf16" (quantize centered clouds to bf16): 9.1% agreement — the bf16
+#     rounding of the |y|^2 term (~1e-3 m^2) swamps the ~1e-5 m^2 gaps
+#     between neighboring mesh vertices; picked vertices land a mean
+#     13.6 mm (max 58 mm) from the true nearest.  DEAD for accuracy; the
+#     toggle remains only to document the counter-result.
+#   * "default" (f32 inputs, one-pass MXU cross term, exact f32 rank-1
+#     terms): 34% agreement — and a measured e2e COUNTER-RESULT: the 66%
+#     of flipped picks (7e-5 m^2 mean penalty) change the objective
+#     inconsistently between L-BFGS evaluations, line searches
+#     mis-terminate, and the official capture FAILS its accuracy gate
+#     while running 35% slower (Benchmarks.md round 4).
+#   * "high" (3-pass bf16_3x cross term): 99.4% agreement with flips only
+#     on true near-ties (max penalty 2.7e-6 m^2); official capture matches
+#     HIGHEST per-sequence MPJPE to 0.1 mm at −18% closure cost.  SHIPPED
+#     DEFAULT (Benchmarks.md round-4 ranking-precision study).
+_RANK_PRECISION = os.environ.get("UUO_RANK_PRECISION", "high")
+
 
 def _ranked_nearest(markers, verts_ng, y_bias=None, table=None):
     """No-grad argmin vertex per marker, scanned over frame chunks so a
@@ -135,9 +158,20 @@ def _ranked_nearest(markers, verts_ng, y_bias=None, table=None):
     C = _RANK_FRAME_CHUNK
 
     def one(m_c, v_c):
-        d2 = squared_distance_matrix(m_c, v_c)
+        if _RANK_PRECISION == "bf16":
+            d2 = squared_distance_matrix(
+                m_c, v_c, precision=jax.lax.Precision.DEFAULT,
+                compute_dtype=jnp.bfloat16)
+        elif _RANK_PRECISION == "default":
+            d2 = squared_distance_matrix(
+                m_c, v_c, precision=jax.lax.Precision.DEFAULT)
+        elif _RANK_PRECISION == "high":
+            d2 = squared_distance_matrix(
+                m_c, v_c, precision=jax.lax.Precision.HIGH)
+        else:
+            d2 = squared_distance_matrix(m_c, v_c)
         if y_bias is not None:
-            d2 = d2 + y_bias[None, None, :]
+            d2 = d2 + y_bias[None, None, :].astype(d2.dtype)
         return jnp.argmin(d2, axis=-1)
 
     if F <= C:

@@ -219,6 +219,20 @@ def package_fingerprint() -> str:
     return _PKG_FP
 
 
+# env toggles that change the TRACED program (module-level variant switches
+# read at import time).  They must key the cache: a hit on a program exported
+# under a different toggle value would silently run the other variant.
+_TRACE_ENV_TOGGLES = (
+    "UUO_CHAMFER_PALLAS", "UUO_CHAMFER_2STAGE", "UUO_RANK_PALLAS",
+    "UUO_RANK_HIER", "UUO_RANK_PRECISION",
+)
+
+
+def env_fingerprint() -> str:
+    """Compact fingerprint of the trace-affecting env toggles."""
+    return ",".join(f"{k}={os.environ.get(k, '')}" for k in _TRACE_ENV_TOGGLES)
+
+
 def config_fingerprint(config: Dict[str, Any]) -> str:
     """Stable hash of a (nested, JSON-able) solver config dict."""
     return hashlib.sha256(
@@ -305,8 +319,8 @@ class AotCache:
     def _key(self, name: str, args: Tuple) -> str:
         platform = jax.default_backend()
         raw = "|".join([
-            name, package_fingerprint(), self.extra, _avals_signature(args),
-            jax.__version__, platform,
+            name, package_fingerprint(), env_fingerprint(), self.extra,
+            _avals_signature(args), jax.__version__, platform,
         ])
         return hashlib.sha256(raw.encode()).hexdigest()[:24]
 
