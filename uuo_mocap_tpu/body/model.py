@@ -173,6 +173,34 @@ def host_const_shas(*arrays: np.ndarray) -> Tuple[str, ...]:
     return tuple(const_sha(np.asarray(a)) for a in arrays)
 
 
+# Host-side numpy copies of the five model tensors, keyed by content_fp in
+# tree_flatten child order.  Data tooling (data/synthetic._surface_points_fn)
+# needs a CPU-backend copy of the model; without this registry its only
+# source is the committed device tensors, and a TPU->host read of ~19 MB
+# over the axon tunnel is seconds in the best case and WEDGES the client in
+# the worst (2026-08-20: bench datagen hung >14 min inside device_put while
+# a concurrent fresh process's small transfers completed fine).  The
+# constructors hold the numpy sources anyway, so they register them here.
+HOST_CONST_NAMES = ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
+_HOST_CONSTS: Dict[str, Tuple[np.ndarray, ...]] = {}
+
+
+def register_host_consts(content_fp: Optional[str], arrays: Tuple[np.ndarray, ...]) -> None:
+    """Record the host-side model tensors (HOST_CONST_NAMES order) for a
+    build-time fingerprint; no-op without a fingerprint."""
+    if content_fp:
+        _HOST_CONSTS[content_fp] = tuple(np.asarray(a) for a in arrays)
+
+
+def host_consts(model: "BodyModel") -> Optional[Dict[str, np.ndarray]]:
+    """name -> host numpy tensor for a registered model, else None (the
+    caller falls back to reading the device tensors)."""
+    arrs = _HOST_CONSTS.get(model.content_fp) if model.content_fp else None
+    if arrs is None:
+        return None
+    return dict(zip(HOST_CONST_NAMES, arrs))
+
+
 def _to_dense(x: Any) -> np.ndarray:
     if hasattr(x, "toarray"):
         return np.asarray(x.toarray())
@@ -215,6 +243,10 @@ def load_body_model(path: str, gender: str = "neutral", dtype=jnp.float32) -> Bo
         parents = PARENTS
 
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
+    host = tuple(a.astype(np_dtype) for a in
+                 (v_template, shapedirs, posedirs, j_regressor, lbs_weights))
+    content_fp = host_model_fingerprint(*host)
+    register_host_consts(content_fp, host)
     return BodyModel(
         v_template=jnp.asarray(v_template, dtype),
         shapedirs=jnp.asarray(shapedirs, dtype),
@@ -224,16 +256,8 @@ def load_body_model(path: str, gender: str = "neutral", dtype=jnp.float32) -> Bo
         faces=faces,
         parents=parents,
         gender=gender,
-        content_fp=host_model_fingerprint(
-            v_template.astype(np_dtype), shapedirs.astype(np_dtype),
-            posedirs.astype(np_dtype), j_regressor.astype(np_dtype),
-            lbs_weights.astype(np_dtype),
-        ),
-        const_shas=host_const_shas(
-            v_template.astype(np_dtype), shapedirs.astype(np_dtype),
-            posedirs.astype(np_dtype), j_regressor.astype(np_dtype),
-            lbs_weights.astype(np_dtype),
-        ),
+        content_fp=content_fp,
+        const_shas=host_const_shas(*host),
     )
 
 

@@ -210,8 +210,13 @@ def synthetic_body_model(gender: str = "neutral", dtype=jnp.float32) -> BodyMode
     """Build (and memoize) the deterministic synthetic model."""
     arrs = _build_arrays(gender)
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
-    from uuo_mocap_tpu.body.model import host_const_shas, host_model_fingerprint
+    from uuo_mocap_tpu.body.model import (
+        host_const_shas, host_model_fingerprint, register_host_consts)
 
+    host = tuple(arrs[k].astype(np_dtype) for k in
+                 ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights"))
+    content_fp = host_model_fingerprint(*host)
+    register_host_consts(content_fp, host)
     return BodyModel(
         v_template=jnp.asarray(arrs["v_template"], dtype),
         shapedirs=jnp.asarray(arrs["shapedirs"], dtype),
@@ -221,16 +226,8 @@ def synthetic_body_model(gender: str = "neutral", dtype=jnp.float32) -> BodyMode
         faces=arrs["faces"],
         parents=PARENTS,
         gender=gender,
-        content_fp=host_model_fingerprint(
-            arrs["v_template"].astype(np_dtype), arrs["shapedirs"].astype(np_dtype),
-            arrs["posedirs"].astype(np_dtype), arrs["j_regressor"].astype(np_dtype),
-            arrs["lbs_weights"].astype(np_dtype),
-        ),
-        const_shas=host_const_shas(
-            arrs["v_template"].astype(np_dtype), arrs["shapedirs"].astype(np_dtype),
-            arrs["posedirs"].astype(np_dtype), arrs["j_regressor"].astype(np_dtype),
-            arrs["lbs_weights"].astype(np_dtype),
-        ),
+        content_fp=content_fp,
+        const_shas=host_const_shas(*host),
     )
 
 

@@ -101,11 +101,22 @@ def _surface_points_fn(model: BodyModel):
     # generation is host-side data tooling, not solve path
     import dataclasses as _dc
 
+    from uuo_mocap_tpu.body.model import host_consts
+
     cpu = jax.local_devices(backend="cpu")[0]
-    model_cpu = _dc.replace(model, **{
-        name: jax.device_put(jnp.asarray(getattr(model, name)), cpu)
-        for name in ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
-    })
+    # build the CPU copy from the registered host-side numpy tensors when
+    # the model has them: reading the committed device tensors back is a
+    # ~19 MB TPU->host transfer over the axon tunnel — seconds at best,
+    # and observed to wedge the client entirely (2026-08-20 bench hang)
+    hc = host_consts(model)
+    if hc is not None:
+        model_cpu = _dc.replace(model, **{
+            name: jax.device_put(arr, cpu) for name, arr in hc.items()})
+    else:
+        model_cpu = _dc.replace(model, **{
+            name: jax.device_put(jnp.asarray(getattr(model, name)), cpu)
+            for name in ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
+        })
     faces = jax.device_put(jnp.asarray(np.asarray(model.faces)), cpu)
 
     def impl(pose, betas, root, trans, vid, offset):
