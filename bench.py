@@ -1,7 +1,13 @@
 """Benchmark: batched multi-sequence solve throughput (frames/sec).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+Output contract (VERDICT r4 item 2 — the round-4 headline was truncated
+away because ONE giant JSON line outgrew the driver's ~2000-char tail
+capture):
+  * the FULL detail record is written to ``BENCH_DETAIL.json`` and printed
+    as its own (large) line first, then
+  * the LAST stdout line is ONE compact JSON record (~700 chars) carrying
+    metric / value / unit / vs_baseline / gates / warmup_s / per-layout
+    {f/s, mpjpe mean/median/max} — guaranteed to survive the tail capture.
 
 Workload: a BATCH of sequences of the canonical clip shape from the
 reference protocol — 15 s windows at 30 Hz (450 frames, 41 markers,
@@ -80,8 +86,18 @@ LANE_WIDTH = int(os.environ.get("UUO_BENCH_LANE_WIDTH", "16"))
 # per-sequence max (VERDICT r3 item 3: a mean-only gate hid a 29.1 mm
 # sequence under a 24.8 mm mean).
 LAYOUTS = [x for x in os.environ.get("UUO_BENCH_LAYOUTS", "random,cmu_41").split(",") if x]
-# {layout: (mean gate, per-sequence max gate)} in mm
+# {layout: (central gate, per-sequence max gate)} in mm.  Gate policy
+# (VERDICT r4 item 6 — de-lucked): the OFFICIAL batch-4 capture gates on
+# mean AND median <= gate[0] AND per-sequence max <= gate[1]; scale
+# experiments at other batch sizes (e.g. the batch-8 soak) gate on
+# median+max ONLY — the mean is composition-sensitive (the r4 batch-8 soak
+# "failed" 26.2 mm mean purely on seed composition while every pinned
+# official seed stayed in gate), and a seed draw must not be able to flip
+# an official PASS/FAIL without a solver change.  Documented in
+# Benchmarks.md (round 5) and carried in the artifact's gate_policy field.
 GATES_MM = {"random": (25.0, 35.0), "cmu_41": (12.0, 18.0)}
+OFFICIAL_BATCH = 4
+DETAIL_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 GPU_ADJUST = (10.0, 50.0)  # eager-torch GPU vs CPU-proxy speed range
 PRINT_OPTS = ["progress"] if os.environ.get("UUO_BENCH_VERBOSE") else []
 
@@ -320,7 +336,27 @@ def _emit_partial(reason: str):
             "vs_baseline": None,
             "detail": {"reason": reason, "phase_at_stop": _PARTIAL["phase"]},
         }
-    print(json.dumps(rec), flush=True)
+    # same contract as the success path: full record to the detail file,
+    # compact final line (the completed layouts' stage_times/eval_stats
+    # blobs would otherwise push the headline out of the tail capture)
+    try:
+        with open(DETAIL_FILE, "w") as f:
+            json.dump(rec, f, indent=1)
+    except OSError:
+        pass
+    compact = dict(rec)
+    compact["detail"] = {
+        k: v for k, v in rec["detail"].items() if k != "per_layout"
+    }
+    compact["detail"]["per_layout"] = {
+        lay: {"fps": d.get("frames_per_sec"),
+              "mm_mean_med_max": [d.get("mpjpe_mm_mean"), d.get("mpjpe_mm_median"),
+                                  d.get("mpjpe_mm_max")],
+              "gate": d.get("gate_passed")}
+        for lay, d in rec["detail"].get("per_layout", {}).items()
+    } if "per_layout" in rec["detail"] else {}
+    compact["detail"]["detail_file"] = "BENCH_DETAIL.json"
+    print(json.dumps(compact), flush=True)
 
 
 def _install_stall_guards(stall_s: float = 1500.0):
@@ -377,6 +413,56 @@ def _tpu_watchdog(timeout_s: float = 180.0):
         os._exit(3)
 
 
+def _rank_roofline_probe(model, reps=10):
+    """Measure the nearest-vertex ranking pass at the canonical closure
+    shape (W=4, F=450, M=41, V=6890) and compute its roofline position
+    (VERDICT r4 item 7: make the 'at the floor' claim auditable in the
+    artifact).  Two bounds, one computed line each:
+
+      * HBM floor — minimum traffic is one f32 read of the per-lane
+        vertex tensor [F, V, 3] (markers/indices negligible): achieved
+        GB/s vs the 819 GB/s v5e HBM roofline.
+      * per-element floor — the pass touches F*M*V candidate pairs per
+        lane; Gelem/s is the honest 'how fast is the argmin' number.
+
+    The r3 study called the pass 'near the HBM-bandwidth floor'; the r4
+    fused-LBS study corrected this to COMPUTE-bound (per-element VPU/MXU
+    work).  Whatever the number says each round goes in the artifact.
+    Cost: ~15 program runs at ~4 ms each on TPU (sub-second)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uuo_mocap_tpu.pipeline import stages as S
+
+    W, F, M = 4, 450, 41
+    V = int(np.asarray(model.v_template).shape[0])
+    rng = np.random.RandomState(0)
+    markers = jnp.asarray(rng.randn(W, F, M, 3).astype(np.float32))
+    verts = jnp.asarray(rng.randn(W, F, V, 3).astype(np.float32))
+    rank = jax.jit(jax.vmap(lambda m, v: S._ranked_nearest(m, v)))
+    jax.block_until_ready(rank(markers, verts))  # compile + first run
+    t0 = time.time()
+    for _ in range(reps):
+        out = rank(markers, verts)
+    jax.block_until_ready(out)
+    ms_total = 1e3 * (time.time() - t0) / reps
+    ms_lane = ms_total / W
+    traffic_gb = F * V * 3 * 4 / 1e9  # one f32 vertex read per lane-eval
+    gbps = traffic_gb / (ms_lane / 1e3)
+    gelems = F * M * V / 1e9 / (ms_lane / 1e3)
+    return {
+        "shape": f"W{W}_F{F}_M{M}_V{V}",
+        "precision": os.environ.get("UUO_RANK_PRECISION", "high"),
+        "ms_per_lane_eval": round(ms_lane, 3),
+        "min_traffic_gb_per_lane_eval": round(traffic_gb, 4),
+        "achieved_gb_per_s": round(gbps, 1),
+        "frac_of_hbm_roofline_819": round(gbps / 819.0, 4),
+        "gelems_per_s": round(gelems, 1),
+        "bound": "compute (per-element rank work), not HBM"
+        if gbps / 819.0 < 0.5 else "HBM bandwidth",
+    }
+
+
 def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
     _install_stall_guards()
@@ -413,6 +499,9 @@ def main():
             "at_iters": ai[0] if len(ai) == 1 else ai,
             "keep": kp[0] if len(kp) == 1 else kp,
             "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
+            # frame-axis coarse-to-fine for the phase-1 tournament
+            # (batch_solver coarse-to-fine block; measured Benchmarks.md r5)
+            "frame_stride": int(os.environ.get("UUO_BENCH_PRUNE_STRIDE", "1")),
         }
     # subtree-tournament pruning, symmetric to the hypothesis prune: the part
     # fit is an argmin over candidate subtrees; obviously-wrong subtrees are
@@ -501,7 +590,11 @@ def main():
         errs, errs_body, errs_ext = batch_mpjpe_mm(model, out["results"], gts)
         evals = int(out["lbfgs_evals"])
         mean_gate, max_gate = GATES_MM.get(lay, (25.0, 35.0))
-        gate_ok = bool(float(np.mean(errs)) <= mean_gate and float(np.max(errs)) <= max_gate)
+        mean_v, med_v, max_v = float(np.mean(errs)), float(np.median(errs)), float(np.max(errs))
+        if BATCH == OFFICIAL_BATCH:  # official capture: mean AND median AND max
+            gate_ok = bool(mean_v <= mean_gate and med_v <= mean_gate and max_v <= max_gate)
+        else:  # scale experiment: composition-insensitive median+max only
+            gate_ok = bool(med_v <= mean_gate and max_v <= max_gate)
         all_gates_passed = all_gates_passed and gate_ok
         total_frames += frames
         total_time += dt
@@ -550,37 +643,86 @@ def main():
         vs_baseline = round(proxy_time / total_time, 2)
         vs_gpu = [round(vs_baseline / GPU_ADJUST[1], 2), round(vs_baseline / GPU_ADJUST[0], 2)]
 
-    mm_tag = "_".join(
-        f"{lay}{per_layout[lay]['mpjpe_mm_mean']:.1f}mm" for lay in LAYOUTS
+    _beat("roofline_probe")
+    try:
+        roofline = _rank_roofline_probe(model)
+    except Exception as e:  # the probe must never cost the capture
+        roofline = {"error": str(e)[:200]}
+
+    gate_policy = (
+        "official batch==%d: per layout mean AND median <= gate[0] AND per-sequence "
+        "max <= gate[1]; other batch sizes (scale experiments): median+max only "
+        "(mean is seed-composition-sensitive — Benchmarks.md r5)" % OFFICIAL_BATCH
     )
     _PARTIAL["done"] = True  # full artifact follows; suppress the guards
+    full = {
+        "metric": "e2e_batch%d_solve_frames_per_sec_450f_41m" % BATCH,
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": vs_baseline,
+        "detail": {
+            "batch_sequences": BATCH,
+            "layouts": LAYOUTS,
+            "lane_width": LANE_WIDTH,
+            "solve_time_s": round(total_time, 1),
+            "warmup_s": round(warmup_s, 1),
+            "warmup_metric_s": round(warmup_metric_s, 1),
+            "datagen_s": round(gen_w_s, 1),
+            "aot_program_cache": aot_stats,
+            "warmup_stage_times_s": out_w.get("stage_times_s"),
+            "frames_per_sec_per_sequence": round(fps / BATCH, 2),
+            "gate_policy": gate_policy,
+            "accuracy_gate_passed": all_gates_passed,
+            "lbfgs_evals": total_evals,
+            "rank_roofline": roofline,
+            "vs_baseline_gpu_adjusted": vs_gpu,
+            "vs_baseline_note": "CPU-proxy denominator; GPU-adjusted range divides by 10-50x (BASELINE.md)",
+            "per_layout": per_layout,
+        },
+    }
+    # full record: file + its own stdout line (first — may be clipped by the
+    # driver's tail capture; BENCH_DETAIL.json is the durable copy)
+    with open(DETAIL_FILE, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), flush=True)
+    # LAST line: compact headline, guaranteed to parse from a ~2000-char tail
+    compact_layouts = {
+        lay: {
+            "fps": per_layout[lay]["frames_per_sec"],
+            "mm_mean_med_max": [
+                per_layout[lay]["mpjpe_mm_mean"],
+                per_layout[lay]["mpjpe_mm_median"],
+                per_layout[lay]["mpjpe_mm_max"],
+            ],
+            "gate": per_layout[lay]["gate_passed"],
+        }
+        for lay in LAYOUTS
+    }
     print(
         json.dumps(
             {
-                "metric": "e2e_batch%d_solve_frames_per_sec_450f_41m_%s" % (BATCH, mm_tag),
-                "value": round(fps, 2),
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "frames/sec",
                 "vs_baseline": vs_baseline,
                 "detail": {
-                    "batch_sequences": BATCH,
-                    "layouts": LAYOUTS,
-                    "lane_width": LANE_WIDTH,
-                    "solve_time_s": round(total_time, 1),
+                    "gate_passed": all_gates_passed,
                     "warmup_s": round(warmup_s, 1),
-                    "warmup_metric_s": round(warmup_metric_s, 1),
-                    "datagen_s": round(gen_w_s, 1),
-                    "aot_program_cache": aot_stats,
-                    "warmup_stage_times_s": out_w.get("stage_times_s"),
-                    "frames_per_sec_per_sequence": round(fps / BATCH, 2),
-                    "gate_policy": "per layout: mean <= gate[0] AND per-sequence max <= gate[1]",
-                    "accuracy_gate_passed": all_gates_passed,
+                    "solve_time_s": round(total_time, 1),
                     "lbfgs_evals": total_evals,
-                    "vs_baseline_gpu_adjusted": vs_gpu,
-                    "vs_baseline_note": "CPU-proxy denominator; GPU-adjusted range divides by 10-50x (BASELINE.md)",
-                    "per_layout": per_layout,
+                    "aot_hits_misses_fallbacks": [
+                        aot_stats["hits"], aot_stats["misses"], aot_stats["fallbacks"]],
+                    "per_layout": compact_layouts,
+                    "rank_roofline_gbps_frac819_bound": [
+                        roofline.get("achieved_gb_per_s"),
+                        roofline.get("frac_of_hbm_roofline_819"),
+                        roofline.get("bound"),
+                    ],
+                    "detail_file": "BENCH_DETAIL.json",
                 },
             }
-        )
+        ),
+        flush=True,
     )
 
 
