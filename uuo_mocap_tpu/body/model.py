@@ -182,22 +182,41 @@ def host_const_shas(*arrays: np.ndarray) -> Tuple[str, ...]:
 # a concurrent fresh process's small transfers completed fine).  The
 # constructors hold the numpy sources anyway, so they register them here.
 HOST_CONST_NAMES = ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights")
+# Bounded (ADVICE r4): each entry pins ~19 MB of host numpy for as long as
+# it lives; typical runs load 1-3 models, so an 8-entry LRU is effectively
+# unbounded for real workloads while capping a pathological many-model
+# service at ~150 MB.  Insertion order IS recency order (dict semantics;
+# re-registration moves to the back).
 _HOST_CONSTS: Dict[str, Tuple[np.ndarray, ...]] = {}
+_HOST_CONSTS_MAX = 8
 
 
 def register_host_consts(content_fp: Optional[str], arrays: Tuple[np.ndarray, ...]) -> None:
     """Record the host-side model tensors (HOST_CONST_NAMES order) for a
     build-time fingerprint; no-op without a fingerprint."""
     if content_fp:
+        _HOST_CONSTS.pop(content_fp, None)
         _HOST_CONSTS[content_fp] = tuple(np.asarray(a) for a in arrays)
+        while len(_HOST_CONSTS) > _HOST_CONSTS_MAX:
+            _HOST_CONSTS.pop(next(iter(_HOST_CONSTS)))
 
 
 def host_consts(model: "BodyModel") -> Optional[Dict[str, np.ndarray]]:
     """name -> host numpy tensor for a registered model, else None (the
-    caller falls back to reading the device tensors)."""
+    caller falls back to reading the device tensors).
+
+    Guard (ADVICE r4): the registry is keyed by content_fp, which is
+    computed at build time — a hand-constructed BodyModel reusing a
+    registered fp with different tensors would otherwise silently receive
+    the wrong host arrays.  Each registered array's shape/dtype must match
+    the model's device tensor; any mismatch returns None (device fallback)."""
     arrs = _HOST_CONSTS.get(model.content_fp) if model.content_fp else None
     if arrs is None:
         return None
+    for name, a in zip(HOST_CONST_NAMES, arrs):
+        t = getattr(model, name)
+        if tuple(a.shape) != tuple(t.shape) or a.dtype != np.dtype(t.dtype.name):
+            return None
     return dict(zip(HOST_CONST_NAMES, arrs))
 
 
@@ -243,7 +262,7 @@ def load_body_model(path: str, gender: str = "neutral", dtype=jnp.float32) -> Bo
         parents = PARENTS
 
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype.name)
-    host = tuple(a.astype(np_dtype) for a in
+    host = tuple(a.astype(np_dtype, copy=False) for a in
                  (v_template, shapedirs, posedirs, j_regressor, lbs_weights))
     content_fp = host_model_fingerprint(*host)
     register_host_consts(content_fp, host)

@@ -213,7 +213,7 @@ def synthetic_body_model(gender: str = "neutral", dtype=jnp.float32) -> BodyMode
     from uuo_mocap_tpu.body.model import (
         host_const_shas, host_model_fingerprint, register_host_consts)
 
-    host = tuple(arrs[k].astype(np_dtype) for k in
+    host = tuple(arrs[k].astype(np_dtype, copy=False) for k in
                  ("v_template", "shapedirs", "posedirs", "j_regressor", "lbs_weights"))
     content_fp = host_model_fingerprint(*host)
     register_host_consts(content_fp, host)
