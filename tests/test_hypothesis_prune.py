@@ -134,3 +134,33 @@ def test_prune_cascade(body):
     # blow up.
     assert outc["eval_stats"]["chamfer"]["lane_evals"] <= \
         out1["eval_stats"]["chamfer"]["lane_evals"] * 1.3
+
+
+def test_prune_frame_stride(body):
+    """Frame-axis coarse-to-fine (``hypothesis_prune.frame_stride``): the
+    phase-1 tournament descends on every 2nd frame and survivors re-enter
+    full-frame phase 2 from upsampled warm starts.  The winner and the final
+    accuracy must match the unstrided prune (the strided rounds only have to
+    RANK lanes; phase 2 re-descends the exact objective)."""
+    Q, F, M = 2, 12, 16
+    preps, gts = _make(body, Q, F, M)
+
+    out1 = MultiSequenceSolver(body, _cfg(True)).solve_prepared(preps)
+
+    cfgs = _cfg(True)
+    cfgs["parallel"]["hypothesis_prune"]["frame_stride"] = 2
+    outs = MultiSequenceSolver(body, cfgs).solve_prepared(preps)
+
+    assert outs["scores"].shape == (Q, 1)
+    for q in range(Q):
+        assert outs["results"][q]["best_hypothesis"] == \
+            out1["results"][q]["best_hypothesis"]
+        e1 = _mpjpe_mm(body, gts[q], out1["results"][q])
+        es = _mpjpe_mm(body, gts[q], outs["results"][q])
+        # full-frame phase 2 re-descends the exact objective from the
+        # upsampled warm start; same-basin bound as the prune tests
+        assert abs(es - e1) < max(0.25 * e1, 5.0), (es, e1)
+    # per-lane shapes must come back at full F regardless of the stride
+    r = outs["results"][0]
+    assert np.asarray(r["pose_body"]).shape[0] == F
+    assert np.asarray(r["trans"]).shape[0] == F
