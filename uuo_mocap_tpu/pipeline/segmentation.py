@@ -134,18 +134,25 @@ def segment_markers_network(
         )
 
     F, M, _ = points.shape
-    pts = jnp.asarray(np.nan_to_num(points, nan=0.0), jnp.float32)
-    if multimodal:
-        model = MarkerSegmenterMultimodal()
-        template = model.init(jax.random.PRNGKey(0), pts[None, :32], jnp.asarray(joints[None, :32], jnp.float32))
-        params = load_params(template, checkpoint_root, name)
-        probs = model.forward_sequence(params, pts, jnp.asarray(joints, jnp.float32), freq=freq)
-    else:
-        model = MarkerSegmenter()
-        template = model.init(jax.random.PRNGKey(0), pts[None, :32])
-        params = load_params(template, checkpoint_root, name)
-        probs = model.forward_sequence(params, pts, freq=freq)
-    return np.asarray(jnp.argmax(probs, axis=-1))
+    # CPU backend: this is host-side preprocessing (one pass over a handful
+    # of 32-frame windows with a ~1MB net), and the segmenter's window
+    # shapes trigger a libtpu fusion-pass CHECK crash on the v5e remote
+    # compiler ("TransformWindow: Loop will not make progress",
+    # 2026-08-20) that the CPU backend does not have
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        pts = jnp.asarray(np.nan_to_num(points, nan=0.0), jnp.float32)
+        if multimodal:
+            model = MarkerSegmenterMultimodal()
+            template = model.init(jax.random.PRNGKey(0), pts[None, :32],
+                                  jnp.asarray(joints[None, :32], jnp.float32))
+            params = load_params(template, checkpoint_root, name)
+            probs = model.forward_sequence(params, pts, jnp.asarray(joints, jnp.float32), freq=freq)
+        else:
+            model = MarkerSegmenter()
+            template = model.init(jax.random.PRNGKey(0), pts[None, :32])
+            params = load_params(template, checkpoint_root, name)
+            probs = model.forward_sequence(params, pts, freq=freq)
+        return np.asarray(jnp.argmax(probs, axis=-1))
 
 
 def merge_symmetric_labels(labels_mode_arr: np.ndarray) -> np.ndarray:
