@@ -116,7 +116,8 @@ def test_batched_network_mode_parity(body, tmp_path_factory):
     from uuo_mocap_tpu.models.checkpoints import save_params
 
     ckpt_dir = str(tmp_path_factory.mktemp("ckpts"))
-    params, _ = T.train_marker_segmenter(body, steps=30, batch=4, num_markers=20, seed=2)
+    params, _ = T.train_marker_segmenter(body, steps=30, batch=4, num_markers=20, seed=2,
+                                        pool_seqs=16, verts_per_seq=128)
     save_params(params, ckpt_dir, "marker_segmenter")
 
     cfg = load_config("configs/video_mocap.yaml")

@@ -53,17 +53,28 @@ def test_all_checkpoint_files_shipped():
 
 
 def test_manifest_gates(manifest):
-    for key in ("marker_segmenter", "marker_segmenter_multimodal"):
-        m = manifest[key]
-        # "well above chance": the honest chance level is the majority-class
-        # baseline on this torso-heavy marker distribution, not 1/24
-        assert m["held_out_accuracy"] >= m["majority_class_baseline"] + 0.05, key
-    # Pos2BC soft assignment must place the expected point within 2 cm of
+    """Gates at USEFUL quality, not 'above chance' (VERDICT r4 item 4).
+
+    Round-5 shipped numbers: unimodal 38.3% random-vertex / 93.4% cmu_41
+    layout, multimodal 81.3% / 99.9%, Pos2BC 1.7 mm, PosDiff 84% surface-
+    distance reduction.  Gates sit below those with regression margin.
+    The random-VERTEX task is intrinsically ambiguous (markers land on
+    boundary vertices; no joint stream to disambiguate sides) — the
+    capture-layout number is the regime network mode serves on real data,
+    and the multimodal net (which the pipeline prefers whenever the HMR
+    stream exists) carries the >=70% bar on BOTH distributions."""
+    m = manifest["marker_segmenter"]
+    assert m["held_out_accuracy"] >= m["majority_class_baseline"] + 0.05
+    assert m["held_out_accuracy_cmu41_layout"] >= 0.85
+    mm = manifest["marker_segmenter_multimodal"]
+    assert mm["held_out_accuracy"] >= 0.70
+    assert mm["held_out_accuracy_cmu41_layout"] >= 0.95
+    # Pos2BC soft assignment must place the expected point within 5 mm of
     # the true surface sample (the SDF stage consumes this quantity)
-    assert manifest["barycentric_coords/pos2bc"]["held_out_expected_point_err_m"] <= 0.02
-    # PosDiff must shrink off-surface offsets, i.e. beat the identity map
+    assert manifest["barycentric_coords/pos2bc"]["held_out_expected_point_err_m"] <= 0.005
+    # PosDiff: >=60% mean surface-distance reduction on held-out queries
     pd = manifest["barycentric_coords/pos_diff"]
-    assert pd["held_out_residual_m"] < pd["held_out_input_offset_m"]
+    assert pd["held_out_dist_reduction"] >= 0.60
 
 
 def test_segmenter_checkpoint_bytes_beat_baseline(body):

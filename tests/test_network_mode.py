@@ -25,7 +25,8 @@ def body():
 @pytest.mark.slow
 def test_network_mode_solve(tmp_path_factory, body):
     ckpt_dir = str(tmp_path_factory.mktemp("ckpts"))
-    params, hist = T.train_marker_segmenter(body, steps=40, batch=4, num_markers=24, seed=2)
+    params, hist = T.train_marker_segmenter(body, steps=40, batch=4, num_markers=24, seed=2,
+                                            pool_seqs=16, verts_per_seq=128)
     save_params(params, ckpt_dir, "marker_segmenter")
 
     cfg = load_config("configs/video_mocap.yaml")

@@ -20,23 +20,37 @@ WINDOW = 32
 STRIDE = 4
 
 
+def marker_window_features(points: jnp.ndarray) -> jnp.ndarray:
+    """[N, F, M, 3] -> [N, F, M, 7] per-marker-frame features: cloud-
+    centered position (3), per-frame velocity (3, forward diff), and height
+    above the cloud minimum (1, gravity prior — yaw-invariant).
+
+    The raw-position net of round 4 plateaued at 37% held-out accuracy;
+    motion signatures and height separate limbs the static cloud cannot
+    (measured round 5, checkpoints/MANIFEST.json)."""
+    center = jnp.mean(points, axis=(1, 2), keepdims=True)
+    x = points - center
+    vel = jnp.diff(points, axis=1, append=points[:, -1:])  # [N, F, M, 3]
+    height = (points[..., 1:2]
+              - jnp.min(points[..., 1:2], axis=(1, 2), keepdims=True))
+    return jnp.concatenate([x, vel, height], axis=-1)
+
+
 class MarkerSegmenter(nn.Module):
-    latent_dim: int = 64
+    latent_dim: int = 128
     num_classes: int = NUM_PARTS
 
     @nn.compact
     def __call__(self, points: jnp.ndarray) -> jnp.ndarray:
         """points [N, F, M, 3] -> logits [N, M, num_classes].
 
-        Center the cloud per window, embed, temporal conv + pool, fuse a
-        max-pooled global feature, classify per marker.
+        Featurize (centered pos + velocity + height), embed, temporal conv
+        + pool per marker, then TWO rounds of global-context fusion
+        (PointNet-segmentation style: local/global concat, re-embed,
+        re-pool) before the per-marker classifier.
         """
         N, F, M, _ = points.shape
-        center = jnp.mean(points, axis=(1, 2), keepdims=True)
-        x = points - center
-
-        x = nn.Dense(self.latent_dim)(x)  # [N, F, M, D]
-        x = nn.relu(x)
+        x = nn.relu(nn.Dense(self.latent_dim)(marker_window_features(points)))
 
         # temporal tower: treat (N*M) as batch, F as the conv axis
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(N * M, F, self.latent_dim)
@@ -47,12 +61,20 @@ class MarkerSegmenter(nn.Module):
         x = jnp.mean(x, axis=1)  # [N*M, D] temporal pooling
         x = x.reshape(N, M, self.latent_dim)
 
-        # permutation-invariant global cloud feature
+        # global-context fusion, then marker self-attention: relative
+        # marker-to-marker geometry (above/below, left-limb/right-limb) is
+        # what separates parts, and pairwise attention models it directly
+        # where repeated max-pool concat cannot (41 tokens — trivial cost)
         global_feat = jnp.max(x, axis=1, keepdims=True)  # [N, 1, D]
         x = jnp.concatenate([x, jnp.broadcast_to(global_feat, x.shape)], axis=-1)
+        x = nn.relu(nn.Dense(self.latent_dim)(x))
+        for _ in range(2):
+            a = nn.SelfAttention(num_heads=4, qkv_features=self.latent_dim)(x)
+            x = nn.LayerNorm()(x + a)
+            h = nn.Dense(self.latent_dim)(nn.relu(nn.Dense(self.latent_dim * 2)(x)))
+            x = nn.LayerNorm()(x + h)
 
-        x = nn.Dense(self.latent_dim * 2)(x)
-        x = nn.relu(x)
+        x = nn.relu(nn.Dense(self.latent_dim * 2)(x))
         return nn.Dense(self.num_classes)(x)  # [N, M, C]
 
     def forward_sequence(self, params, points: jnp.ndarray, freq: float = 30.0,

@@ -12,11 +12,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uuo_mocap_tpu.models.marker_segmenter import NUM_PARTS, STRIDE, WINDOW
+from uuo_mocap_tpu.models.marker_segmenter import (
+    NUM_PARTS, STRIDE, WINDOW, marker_window_features)
 
 
 class MarkerSegmenterMultimodal(nn.Module):
-    latent_dim: int = 64
+    latent_dim: int = 128
     num_classes: int = NUM_PARTS
     num_joints: int = 22
 
@@ -25,8 +26,7 @@ class MarkerSegmenterMultimodal(nn.Module):
         """points [N, F, M, 3], joints [N, F, J, 3] -> logits [N, M, C]."""
         N, F, M, _ = points.shape
 
-        center = jnp.mean(points, axis=(1, 2), keepdims=True)
-        x = nn.relu(nn.Dense(self.latent_dim)(points - center))  # [N, F, M, D]
+        x = nn.relu(nn.Dense(self.latent_dim)(marker_window_features(points)))
 
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(N * M, F, self.latent_dim)
         for pool in (4, 4, 2):
@@ -34,18 +34,29 @@ class MarkerSegmenterMultimodal(nn.Module):
             x = nn.max_pool(x[..., None], (pool, 1), strides=(pool, 1))[..., 0]
         x = jnp.mean(x, axis=1).reshape(N, M, self.latent_dim)
 
-        # video branch: embed HMR joints, temporal+joint pooling
+        # video branch: embed HMR joints (kept per-joint — joint IDENTITY is
+        # the video stream's whole value), temporal conv, global pooling
         j_center = jnp.mean(joints, axis=(1, 2), keepdims=True)
-        j = nn.relu(nn.Dense(self.latent_dim)(joints - j_center))  # [N, F, J, D]
-        j = jnp.max(j, axis=2)  # pool joints -> [N, F, D]
+        j = (joints - j_center).reshape(N, F, -1)  # [N, F, J*3], joints ordered
+        j = nn.relu(nn.Dense(self.latent_dim)(j))
         j = nn.relu(nn.Conv(self.latent_dim, kernel_size=(3,), padding="SAME")(j))
         j_global = jnp.max(j, axis=1, keepdims=True)  # [N, 1, D]
 
+        # fuse (local, marker-global, video-global), then marker self-
+        # attention (same rationale as MarkerSegmenter: pairwise relational
+        # geometry over 41 tokens)
         m_global = jnp.max(x, axis=1, keepdims=True)  # [N, 1, D]
         fused = jnp.concatenate(
-            [x, jnp.broadcast_to(m_global, x.shape), jnp.broadcast_to(j_global, x.shape)], axis=-1
-        )
-        h = nn.relu(nn.Dense(self.latent_dim * 2)(fused))
+            [x, jnp.broadcast_to(m_global, x.shape),
+             jnp.broadcast_to(j_global, x.shape)], axis=-1)
+        x = nn.relu(nn.Dense(self.latent_dim)(fused))
+        for _ in range(2):
+            a = nn.SelfAttention(num_heads=4, qkv_features=self.latent_dim)(x)
+            x = nn.LayerNorm()(x + a)
+            h2 = nn.Dense(self.latent_dim)(nn.relu(nn.Dense(self.latent_dim * 2)(x)))
+            x = nn.LayerNorm()(x + h2)
+
+        h = nn.relu(nn.Dense(self.latent_dim * 2)(x))
         return nn.Dense(self.num_classes)(h)
 
     def forward_sequence(self, params, points: jnp.ndarray, joints: jnp.ndarray,
