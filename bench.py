@@ -476,7 +476,7 @@ def main():
 
     model = synthetic_body_model()
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "video_mocap.yaml"))
-    cfg["parallel"] = {"lane_width": LANE_WIDTH, "part_lane_width": 64, "pad_width": True}
+    cfg["parallel"] = {"lane_width": LANE_WIDTH, "part_lane_width": 16, "pad_width": True}
     if os.environ.get("UUO_BENCH_RANK_PER_ITER") == "1":
         cfg["optimizer"]["rank_per_iteration"] = True
     # hypothesis pruning is the shipped default: measured accuracy-parity

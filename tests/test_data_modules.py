@@ -120,6 +120,8 @@ def test_preprocess_amass_npz(tmp_path, body):
     assert float(out["mocap_frame_rate"]) == 30.0
 
 
+@pytest.mark.slow  # ~50-60s on the 1-vCPU host: the fast tier must hold
+# its 10-minute budget (pyproject); this path stays covered by the slow tier
 def test_export_tool_and_comparisons_roundtrip(tmp_path, body):
     """export synthetic c3d + GT -> evaluate GT against itself (moshpp
     method) -> ~zero error; the full harness loop."""

@@ -4,6 +4,7 @@ accepted L-BFGS iterate.  The fixed point satisfies the per-eval objective
 (ranking is stationary at convergence), so the solved parameters must land
 at the same optimum as the per-eval path within descent float noise."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from uuo_mocap_tpu.body.synthetic import synthetic_body_model
@@ -32,6 +33,8 @@ def _solve(body, cfg, gt, markers, prior, A=2):
     return params, res, np.asarray(scores)
 
 
+@pytest.mark.slow  # ~50-60s on the 1-vCPU host: the fast tier must hold
+# its 10-minute budget (pyproject); this path stays covered by the slow tier
 def test_rank_freeze_reaches_same_optimum():
     body = synthetic_body_model()
     F, M = 12, 16

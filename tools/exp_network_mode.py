@@ -52,7 +52,12 @@ def main():
     out = {}
     for mode in ("cluster", "network"):
         cfg = load_config(os.path.join(root, "configs", "video_mocap.yaml"))
-        cfg["parallel"] = {"lane_width": 16, "part_lane_width": 64, "pad_width": True}
+        cfg["parallel"] = {
+            "lane_width": 16, "part_lane_width": 16, "pad_width": True,
+            # shipped bench defaults (accuracy-parity measured, Benchmarks.md r3/r4)
+            "hypothesis_prune": {"enabled": True, "at_iters": [50, 150], "keep": [2, 1]},
+            "part_prune": {"enabled": True, "at_iters": 15, "keep": 2},
+        }
         cfg["stages"]["part"]["mode"] = mode
         cfg["checkpoints_dir"] = os.path.join(root, "checkpoints")
         t0 = time.time()

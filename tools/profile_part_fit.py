@@ -36,7 +36,7 @@ def main():
     model = synthetic_body_model()
     cfg = load_config(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "configs", "video_mocap.yaml"))
-    cfg["parallel"] = {"lane_width": bench.LANE_WIDTH, "part_lane_width": 64,
+    cfg["parallel"] = {"lane_width": bench.LANE_WIDTH, "part_lane_width": 16,
                        "pad_width": True}
     pai = [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_ITERS", "15").split(",")]
     pkp = [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_KEEP", "2").split(",")]

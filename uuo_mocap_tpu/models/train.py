@@ -410,46 +410,59 @@ def train_pos_diff(body: BodyModel, steps: int = 300, batch: int = 512, lr: floa
 def train_motion_embedding(
     body: BodyModel, steps: int = 200, batch: int = 16, window: int = 16,
     num_markers: int = 41, lr: float = 1e-3, seed: int = 0, temperature: float = 0.1,
+    pool_seqs: int = 96,
 ) -> Tuple[Tuple[dict, dict], List[float]]:
     """InfoNCE between marker windows and joint windows of the same instant
-    (the reference's contrastive alignment objective)."""
+    (the reference's contrastive alignment objective).  Pooled like the
+    segmenter loops: per-step eager datagen made this the fast tier's
+    single heaviest test (120 s for 100 steps)."""
     m_model = MarkerEmbedding()
     j_model = JointEmbedding()
     rng = jax.random.PRNGKey(seed)
 
-    def make_batch(i):
-        # one *independent* sequence per batch element — overlapping windows
-        # of a single sequence make the InfoNCE targets ambiguous and the
-        # loss parks at chance level ln(batch)
-        rngnp = np.random.RandomState(seed * 13 + i)
-        pts, jts = [], []
-        for b in range(batch):
-            gt = random_pose_sequence(window, seed=seed * 100003 + i * batch + b)
-            out = lbs_forward(
-                body, gt.pose_body, jnp.broadcast_to(gt.betas, (window, 10)), gt.root_orient, gt.trans
-            )
-            vid = rngnp.choice(body.num_vertices, num_markers, replace=False)
-            pts.append(np.asarray(out["vertices"][:, vid]))
-            jts.append(np.asarray(out["joints"][:, :22]))
-        return jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(jts))
+    # one *independent* sequence per pool row — overlapping windows of a
+    # single sequence make the InfoNCE targets ambiguous and the loss parks
+    # at chance level ln(batch)
+    rngnp = np.random.RandomState(seed * 13 + 1)
+    pts_rows, jts_rows = [], []
+    chunk = 8
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        for c0 in range(0, pool_seqs, chunk):
+            B = min(chunk, pool_seqs - c0)
+            gts = [random_pose_sequence(window, seed=seed * 100003 + c0 + b)
+                   for b in range(B)]
+            pose = jnp.stack([g.pose_body for g in gts])
+            betas = jnp.stack([jnp.broadcast_to(g.betas, (window, 10)) for g in gts])
+            root = jnp.stack([g.root_orient for g in gts])
+            trans = jnp.stack([g.trans for g in gts])
+            vid = np.stack([rngnp.choice(body.num_vertices, num_markers, replace=False)
+                            for _ in range(B)])
+            p, j = _lbs_markers(body, pose, betas, root, trans, jnp.asarray(vid))
+            pts_rows.append(np.asarray(p))
+            jts_rows.append(np.asarray(j))
+    pts_pool = jnp.asarray(np.concatenate(pts_rows))  # [P, W, M, 3]
+    jts_pool = jnp.asarray(np.concatenate(jts_rows))  # [P, W, 22, 3]
 
-    pts0, jts0 = make_batch(9999)
-    m_params = m_model.init(rng, pts0)
-    j_params = j_model.init(rng, jts0)
-    params = {"m": m_params, "j": j_params}
+    m_params = m_model.init(rng, pts_pool[:1])
+    j_params = j_model.init(rng, jts_pool[:1])
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a)), {"m": m_params, "j": j_params})
 
-    def loss_fn(params, batch):
-        pts, jts = batch
+    def loss_from_key(params, key):
+        # sample WITHOUT replacement: a duplicated row is its own positive
+        # pair twice and poisons the InfoNCE labels
+        idx = jax.random.permutation(key, pool_seqs)[:batch]
+        pts, jts = pts_pool[idx], jts_pool[idx]
         em = m_model.apply(params["m"], pts)  # [B, 32]
         ej = j_model.apply(params["j"], jts)
         logits = em @ ej.T / temperature
-        labels = jnp.arange(pts.shape[0])
+        labels = jnp.arange(batch)
         return (
             optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
             + optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
         ) / 2
 
-    params, hist = _fit(None, params, loss_fn, make_batch, steps, lr)
+    params, hist = _fit_pooled(params, loss_from_key, steps, lr, seed)
     return (params["m"], params["j"]), hist
 
 

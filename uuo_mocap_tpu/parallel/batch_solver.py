@@ -153,7 +153,13 @@ class MultiSequenceSolver:
         # descending yaw-hypothesis lanes that lost the tournament — see
         # solve_prepared's chamfer block
         self.prune_cfg = dict(pcfg.get("hypothesis_prune") or {})
-        part_w = int(pcfg.get("part_lane_width", 64))
+        # default 16, same cap as the chamfer lanes: the 64 default shipped
+        # rounds 2-4 was never exercised past 8 live lanes — the first
+        # network-mode run at production scale (2026-08-20) put a wide
+        # subtree batch through the part L-BFGS program and killed the TPU
+        # worker, the same failure band as docs/tpu_worker_crash_width32.md.
+        # Wider sets stream through 16-wide segments like every other stage.
+        part_w = int(pcfg.get("part_lane_width", 16))
         if part_w:
             self.part_fitter._solver.max_width = part_w
             self.part_fitter._solver.pad_width = self._pad_width
