@@ -499,9 +499,16 @@ def main():
             "at_iters": ai[0] if len(ai) == 1 else ai,
             "keep": kp[0] if len(kp) == 1 else kp,
             "rank_phase1": os.environ.get("UUO_BENCH_RANK_PHASE1") == "1",
-            # frame-axis coarse-to-fine for the phase-1 tournament
-            # (batch_solver coarse-to-fine block; measured Benchmarks.md r5)
-            "frame_stride": int(os.environ.get("UUO_BENCH_PRUNE_STRIDE", "1")),
+            # frame-axis coarse-to-fine for the phase-1 tournament: scalar
+            # or per-round comma list.  Default "2,1" (stride only the
+            # early cull; runoff at full frames): +24.5% aggregate at
+            # slightly BETTER accuracy vs unstrided (53.8 vs 43.2 f/s,
+            # random 24.4/27.9 vs 24.7/29.2 mm mean/max).  All-strided
+            # "2" was a counter-result: +35% but one sequence drifted
+            # +2.3 mm through the upsampled phase-2 handoff and failed
+            # the gate.  Measured Benchmarks.md round 5.
+            "frame_stride": (lambda v: v[0] if len(v) == 1 else v)(
+                [int(x) for x in os.environ.get("UUO_BENCH_PRUNE_STRIDE", "2,1").split(",")]),
         }
     # subtree-tournament pruning, symmetric to the hypothesis prune: the part
     # fit is an argmin over candidate subtrees; obviously-wrong subtrees are

@@ -529,35 +529,58 @@ class MultiSequenceSolver:
                 # frame-axis coarse-to-fine (VERDICT r4 item 3): the phase-1
                 # tournament only has to RANK yaw hypotheses, and with shared
                 # betas + smooth pose the chamfer objective is well-
-                # conditioned under frame subsampling — so the tournament
-                # rounds descend on every ``frame_stride``-th frame (cost per
-                # eval scales ~1/stride) and only the surviving lanes pay
-                # full-frame evals in phase 2, warm-started from the strided
-                # parameters via linear/slerp-style upsampling.
-                stride = max(int(prune.get("frame_stride", 1)), 1)
+                # conditioned under frame subsampling — tournament rounds
+                # can descend on every s-th frame (cost per eval ~1/s).
+                # ``frame_stride`` is a scalar or a per-round list: the
+                # measured-best cascade ([2, 1] at the default 50,150/2,1
+                # rounds) strides only the early cull and runs the runoff at
+                # full frames, so the phase-2 warm start never crosses an
+                # upsampling boundary (an all-strided cascade drifted one
+                # official sequence +2.3 mm — Benchmarks.md round 5).
+                fs = prune.get("frame_stride", 1)
+                fs = fs if isinstance(fs, (list, tuple)) else [fs] * len(rounds)
+                if len(fs) != len(rounds):
+                    raise ValueError(
+                        f"hypothesis_prune frame_stride {list(fs)} must be a scalar "
+                        f"or match the cascade length {len(rounds)}")
+                strides = [max(int(s), 1) for s in fs]
 
-                def _sl(x):  # stride the frame axis (dim 1) when present
-                    if stride > 1 and x.ndim >= 2 and x.shape[1] == F:
-                        return x[:, ::stride]
+                def _sl(x, s):  # stride the frame axis (dim 1) when present
+                    if s > 1 and hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == F:
+                        return x[:, ::s]
                     return x
+
+                def _params_to_stride(p, from_s, to_s):
+                    """Re-sample warm-start params between round strides."""
+                    if from_s == to_s:
+                        return p
+                    if from_s > 1:  # back to full frames first
+                        p = upsample_lane_params(p, F, from_s)
+                    if to_s > 1:
+                        p = SmplParams(*(_sl(x, to_s) for x in p))
+                    return p
 
                 A_cur = A
                 done_iters = 0
-                strided = False
-                for at_iters, keep in rounds:
+                p_stride = 1  # stride the warm-start params currently live at
+                for (at_iters, keep), r_stride in zip(rounds, strides):
                     if A_cur <= keep:
                         continue
                     round_iters = max(at_iters - done_iters, 1)
                     log(f"Batch[{Q}]: chamfer phase 1 ({Ln} lanes, "
                         f"+{round_iters} iters to {at_iters}"
-                        + (f", frame stride {stride}" if stride > 1 else "") + ")...")
-                    if not strided:  # first round: stride the warm starts once
-                        pose0_l, betas0_l, trans0_l = _sl(pose0_l), _sl(betas0_l), _sl(trans0_l)
-                        root0_l = _sl(root0_l)
-                        strided = True
+                        + (f", frame stride {r_stride}" if r_stride > 1 else "") + ")...")
+                    if p_stride != r_stride:
+                        p = _params_to_stride(
+                            SmplParams(pose0_l, betas0_l, root0_l, trans0_l),
+                            p_stride, r_stride)
+                        pose0_l, betas0_l, trans0_l = p.pose_body, p.betas, p.trans
+                        (root0_l,) = self._put_lanes(p.root_orient)
+                        p_stride = r_stride
                     mk_s, wt_s, op_s, ob_s, fv_s = (
-                        _sl(markers_l), _sl(weights_l), _sl(o_pose_l),
-                        _sl(o_betas_l), _sl(fv_l))
+                        _sl(markers_l, r_stride), _sl(weights_l, r_stride),
+                        _sl(o_pose_l, r_stride), _sl(o_betas_l, r_stride),
+                        _sl(fv_l, r_stride))
                     with timed("chamfer"):
                         solver.iter_cap = round_iters
                         try:
@@ -590,10 +613,10 @@ class MultiSequenceSolver:
                     (root0_l,) = self._put_lanes(rot.normalize_rotation(partial_s.root_orient))
                     A_cur = keep
                     Ln = Q * keep
-                if strided and stride > 1:
+                if p_stride > 1:
                     # survivors re-enter full-frame phase 2 from upsampled params
                     up = upsample_lane_params(
-                        SmplParams(pose0_l, betas0_l, root0_l, trans0_l), F, stride)
+                        SmplParams(pose0_l, betas0_l, root0_l, trans0_l), F, p_stride)
                     pose0_l, betas0_l, trans0_l = up.pose_body, up.betas, up.trans
                     (root0_l,) = self._put_lanes(up.root_orient)
                 A_eff = A_cur
