@@ -527,6 +527,10 @@ def main():
             "enabled": True,
             "at_iters": pai[0] if len(pai) == 1 else pai,
             "keep": pkp[0] if len(pkp) == 1 else pkp,
+            # frame stride for the subtree tournament rounds (scalar or
+            # per-round list; the FINAL descent always runs full frames)
+            "frame_stride": (lambda v: v[0] if len(v) == 1 else v)(
+                [int(x) for x in os.environ.get("UUO_BENCH_PART_PRUNE_STRIDE", "1").split(",")]),
         }
     solver = MultiSequenceSolver(model, cfg)
     stage_solvers = (

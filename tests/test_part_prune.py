@@ -83,3 +83,29 @@ def test_part_prune_cascade_shapes():
     row = np.asarray(fits[0].subtree_losses)
     assert row.ndim == 1 and np.all(np.isfinite(row))
     assert fits[0].lbfgs_evals > 0
+
+
+def test_part_prune_frame_stride_matches():
+    """Frame-strided tournament rounds (``part_prune.frame_stride``): the
+    cull descends on every 2nd frame, the final descent runs full frames
+    from a re-strided warm start — winner and basin must match the
+    unstrided prune."""
+    body = synthetic_body_model()
+    markers_b, pose_b, betas_b, root_b = _scene(body)
+    Q, F, M = markers_b.shape[0], markers_b.shape[1], markers_b.shape[2]
+    w_b = jnp.ones((Q, F, M))
+
+    fit_pr = PartFitter(body, _cfg(True)).fit_batch(
+        markers_b, w_b, pose_b, betas_b, root_b, num_rigid_groups=[3] * Q)
+    cfg_s = _cfg(True)
+    cfg_s["parallel"]["part_prune"]["frame_stride"] = 2
+    fit_s = PartFitter(body, cfg_s).fit_batch(
+        markers_b, w_b, pose_b, betas_b, root_b, num_rigid_groups=[3] * Q)
+
+    for q in range(Q):
+        assert fit_s[q].chain.tolist() == fit_pr[q].chain.tolist()
+        # full-frame final descent: trans must come back at full F and land
+        # in the same basin as the unstrided prune
+        assert fit_s[q].params.trans.shape[0] == F
+        d = float(jnp.max(jnp.abs(fit_s[q].params.trans - fit_pr[q].params.trans)))
+        assert d < 0.05, d

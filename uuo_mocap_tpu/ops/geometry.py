@@ -78,3 +78,16 @@ def vertex_normals(vertices, faces) -> jnp.ndarray:
             np.add.at(flat_vn[b], f[:, k], flat_fn[b])
     norm = np.linalg.norm(vn, axis=-1, keepdims=True)
     return jnp.asarray(vn / np.maximum(norm, 1e-12))
+
+
+def upsample_frames(x: jnp.ndarray, F_full: int, stride: int) -> jnp.ndarray:
+    """Linear-interp a frame-strided lane tensor [Ln, F_s, ...] (sampled at
+    frames 0, s, 2s, ...) back to [Ln, F_full, ...] — the warm-start
+    resampling for the frame-strided tournament rounds (coarse-to-fine,
+    Benchmarks.md round 5)."""
+    Fs = x.shape[1]
+    pos = jnp.arange(F_full, dtype=jnp.float32) / float(stride)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, Fs - 1)
+    i1 = jnp.clip(i0 + 1, 0, Fs - 1)
+    w = (pos - i0.astype(jnp.float32)).reshape((1, F_full) + (1,) * (x.ndim - 2))
+    return x[:, i0] * (1.0 - w) + x[:, i1] * w

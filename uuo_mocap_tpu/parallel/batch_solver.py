@@ -40,7 +40,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from uuo_mocap_tpu.body.model import BodyModel
 from uuo_mocap_tpu.ops import rotations as rot
-from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume, get_marker_mask
+from uuo_mocap_tpu.ops.geometry import (
+    get_aabb, get_aabb_volume, get_marker_mask, upsample_frames as _upsample_frames)
 from uuo_mocap_tpu.pipeline.multimodal import PreparedSequence, _params_to_stage_dict
 from uuo_mocap_tpu.pipeline.part_fit import PartFitter
 from uuo_mocap_tpu.pipeline.segmentation import segment_rigid
@@ -62,17 +63,6 @@ def chunked_lanes(fn, width: Optional[int], *args):
             jax.tree_util.tree_map(lambda a: a[idx], arg) for arg in args
         ]))
     return jax.tree_util.tree_map(lambda *cs: jnp.concatenate(cs, axis=0)[:L], *outs)
-
-
-def _upsample_frames(x: jnp.ndarray, F_full: int, stride: int) -> jnp.ndarray:
-    """Linear-interp a frame-strided lane tensor [Ln, F_s, ...] (sampled at
-    frames 0, s, 2s, ...) back to [Ln, F_full, ...]."""
-    Fs = x.shape[1]
-    pos = jnp.arange(F_full, dtype=jnp.float32) / float(stride)
-    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, Fs - 1)
-    i1 = jnp.clip(i0 + 1, 0, Fs - 1)
-    w = (pos - i0.astype(jnp.float32)).reshape((1, F_full) + (1,) * (x.ndim - 2))
-    return x[:, i0] * (1.0 - w) + x[:, i1] * w
 
 
 def upsample_lane_params(params: SmplParams, F_full: int, stride: int) -> SmplParams:

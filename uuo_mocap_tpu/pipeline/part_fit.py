@@ -30,7 +30,7 @@ from uuo_mocap_tpu.body.joints import get_sub_hierarchies, remove_approximately_
 from uuo_mocap_tpu.body.model import BodyModel, lbs_forward_at
 from uuo_mocap_tpu.ops import rotations as rot
 from uuo_mocap_tpu.ops.chamfer import masked_chamfer_vertex_subset, squared_distance_matrix
-from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume
+from uuo_mocap_tpu.ops.geometry import get_aabb, get_aabb_volume, upsample_frames
 from uuo_mocap_tpu.pipeline.stages import (
     SEGMENT_SIZE, SmplParams, _data, _forward, _ranked_nearest, _stage_opts,
 )
@@ -412,19 +412,54 @@ class PartFitter:
                     chosen.append(int(i))
             return np.sort(np.asarray(chosen[:keep]))
 
+        # frame-axis coarse-to-fine for the subtree tournament (same design
+        # as the chamfer-stage cascade, Benchmarks.md round 5): tournament
+        # rounds only have to RANK subtrees, so they can descend on every
+        # s-th frame; the final full-convergence descent runs at whatever
+        # the last round's stride hands it (upsampled to full frames when
+        # strided).  Scalar or per-round list, default 1 (off).
+        fs = prune.get("frame_stride", 1)
+        fs = fs if isinstance(fs, (list, tuple)) else [fs] * len(rounds)
+        if len(fs) != len(rounds):
+            raise ValueError(
+                f"part_prune frame_stride {list(fs)} must be a scalar or "
+                f"match the cascade length {len(rounds)}")
+        fstrides = [max(int(s), 1) for s in fs]
+        _LANE_F_KEYS = ("markers", "marker_weights", "o_pose_body",
+                        "root_orient0", "foot_contacts", "frame_valid")
+
+        def _lane_stride(ln, s):
+            if s == 1:
+                return ln
+            return {k: (v[:, ::s] if k in _LANE_F_KEYS else v) for k, v in ln.items()}
+
+        def _trans_restride(t, from_s, to_s):
+            if from_s == to_s:
+                return t
+            if from_s > 1:
+                t = upsample_frames(t, F, from_s)
+            return t[:, ::to_s] if to_s > 1 else t
+
         sub_ids = np.tile(np.arange(S_max), (Q, 1))  # padded lane index
         S_cur = S_max
         evals_per_seq = np.zeros(Q, np.int64)
         scores_rows = np.full((Q, S_max), np.inf)  # best-known score per subtree
         tick("setup", lane["markers"])
+        p_stride = 1
         if do_prune:
             done_iters = 0
-            for at_iters, keep in rounds:
+            for (at_iters, keep), r_stride in zip(rounds, fstrides):
                 if S_cur <= keep:
                     continue
+                if p_stride != r_stride:
+                    params0 = dict(params0)
+                    params0["trans"] = _trans_restride(
+                        params0["trans"], p_stride, r_stride)
+                    p_stride = r_stride
+                lane_r = _lane_stride(lane, r_stride)
                 self._solver.iter_cap = max(at_iters - done_iters, 1)
                 try:
-                    p_opt, res = self._solver.run(params0, lane, {})
+                    p_opt, res = self._solver.run(params0, lane_r, {})
                 finally:
                     self._solver.iter_cap = None
                 merge_stats(self._solver.last_run_stats)
@@ -432,9 +467,9 @@ class PartFitter:
                 evals_per_seq += np.asarray(res.num_evals).reshape(Q, S_cur).sum(axis=1)
                 tick("descend_prune", p_opt["z"])
                 sc = np.asarray(self._score_lanes_any(
-                    p_opt["z"], p_opt["betas"], p_opt["trans"], lane["vertex_mask"],
-                    lane["markers"], lane["marker_weights"], lane["o_pose_body"],
-                    lane["root_orient0"],
+                    p_opt["z"], p_opt["betas"], p_opt["trans"], lane_r["vertex_mask"],
+                    lane_r["markers"], lane_r["marker_weights"], lane_r["o_pose_body"],
+                    lane_r["root_orient0"],
                 )).reshape(Q, S_cur)
                 tick("score_prune")
                 for q in range(Q):
@@ -449,6 +484,9 @@ class PartFitter:
                 lane = {k: v[surv] for k, v in lane.items()}
                 S_cur = keep
                 tick("survivor_gather", lane["markers"])
+        if p_stride > 1:  # final descent runs at full frames
+            params0 = dict(params0)
+            params0["trans"] = _trans_restride(params0["trans"], p_stride, 1)
 
         p_opt, res = self._solver.run(params0, lane, {})
         merge_stats(self._solver.last_run_stats)
