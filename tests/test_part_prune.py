@@ -85,6 +85,8 @@ def test_part_prune_cascade_shapes():
     assert fits[0].lbfgs_evals > 0
 
 
+@pytest.mark.slow  # default-off feature (a recorded counter-result at bench
+# scale); two full part fits + fresh strided-shape compiles blow the fast budget
 def test_part_prune_frame_stride_matches():
     """Frame-strided tournament rounds (``part_prune.frame_stride``): the
     cull descends on every 2nd frame, the final descent runs full frames
