@@ -33,6 +33,13 @@ def main(argv=None):
     parser.add_argument("--layout", type=str, default="cmu_41")
     parser.add_argument("--parts", nargs="+", default=None, help="limb subset for structured export")
     parser.add_argument("--shuffle", action="store_true")
+    parser.add_argument(
+        "--prior", choices=["perturbed", "gt", "none"], default="perturbed",
+        help="also write a 4D-Humans-style demo pkl so cli.test runs the "
+             "synthetic closed loop without video assets (the reference "
+             "skips sequences lacking the pkl, test/test.py:91-93)")
+    parser.add_argument("--prior_pose_noise", type=float, default=0.05)
+    parser.add_argument("--prior_trans_noise", type=float, default=0.08)
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -84,7 +91,59 @@ def main(argv=None):
                 gender="neutral",
             )
             print(f"wrote {out_dir}/{seq}.c3d ({mk.get_num_markers()} markers, {len(mk)} frames)")
+
+            if args.prior != "none":
+                _write_prior_pkl(base, subject, seq, model, gt, args, seed)
             seed += 1
+
+
+def _write_prior_pkl(base, subject, seq, model, gt, args, seed):
+    """Write a PHALP/4D-Humans demo pkl (the schema ``ImgSmpl`` parses,
+    ``data/img_smpl.py:55-100``) from the GT — perturbed by default, the
+    same prior protocol as the closed-loop tests/bench.  Camera streams are
+    left empty (reprojection stages are off in the shipped config)."""
+    import joblib
+
+    from uuo_mocap_tpu.body.model import lbs_forward
+    from uuo_mocap_tpu.data.img_smpl import CORRECTION_MATRIX
+    from uuo_mocap_tpu.data.synthetic import perturb_params
+    from uuo_mocap_tpu.utils.foot_contact import JOINTS_2D
+
+    import jax.numpy as jnp
+
+    prior = gt if args.prior == "gt" else perturb_params(
+        gt, seed=seed + 77, pose_noise=args.prior_pose_noise,
+        trans_noise=args.prior_trans_noise)
+    F = prior.trans.shape[0]
+    joints = np.asarray(lbs_forward(
+        model, jnp.asarray(prior.pose_body),
+        jnp.broadcast_to(jnp.asarray(prior.betas), (F, 10)),
+        jnp.asarray(prior.root_orient), jnp.asarray(prior.trans))["joints"])
+    C_inv = CORRECTION_MATRIX.T  # orthogonal; parser applies C @ global_orient
+    betas = np.broadcast_to(np.asarray(prior.betas), (F, 10))
+    data = {}
+    for f in range(F):
+        j3d = np.asarray(joints[f, :45], np.float32).copy()
+        j3d[JOINTS_2D["pelvis_low"]] = joints[f, 0]  # parser reads trans here
+        data[f"frame_{f:06d}.jpg"] = {
+            "tracked_ids": [0],
+            "smpl": [{
+                "global_orient": (C_inv @ np.asarray(prior.root_orient[f, 0], np.float32)),
+                "body_pose": np.asarray(prior.pose_body[f], np.float32),
+                "betas": np.asarray(betas[f], np.float32),
+            }],
+            "3d_joints": [j3d],
+            "2d_joints": [np.zeros(90, np.float32)],
+            "camera_bbox": [],
+            "center": [],
+            "scale": [],
+            "size": [],
+        }
+    pkl_dir = os.path.join(base, "comparisons", "4d_humans", subject, seq, "results")
+    os.makedirs(pkl_dir, exist_ok=True)
+    path = os.path.join(pkl_dir, "demo_" + seq + ".pkl")
+    joblib.dump(data, path)
+    print(f"wrote {path} ({args.prior} prior)")
 
 
 if __name__ == "__main__":
